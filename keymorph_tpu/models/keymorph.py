@@ -1,0 +1,567 @@
+"""The KeyMorph registration pipeline.
+
+Two layers:
+
+1. **Functional core** (`extract_keypoints`, `align_pair`) — pure, jit/vmap/
+   grad-safe functions used by the training step, the bench, and the sharded
+   multi-chip paths.
+2. **`KeyMorph` orchestrator** — mirrors the reference's ``nn.Module`` API
+   (keymorph/model.py:22-530): ``model(img_f, img_m, transform_type=[...],
+   return_aligned_points=True)`` returning the same result-dict contract
+   ``{align_type_str: {grid, points_f, points_m, points_weights, tps_lmbda,
+   time_keypoint_extract, time_align, time, [matrix], [points_a]}}``
+   (model.py:274-288), plus ``groupwise_register`` (model.py:295-530).
+
+Keypoints are `ij`-indexed, in [-1, 1]. Images are channel-first
+(B, 1, *spatial) at this boundary; channel-last conversion happens inside.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from keymorph_tpu.ops import coords as Coords
+from keymorph_tpu.transforms import solvers
+from keymorph_tpu.transforms.aligners import (
+    AffineKeypointAligner,
+    RigidKeypointAligner,
+    TPS,
+)
+from keymorph_tpu.models.layers import center_of_mass, LinearRegressor
+
+RegistrationResult = Dict[str, Dict[str, Any]]
+
+_TPS_RE = re.compile(r"^tps_(.+)$")
+
+
+def is_supported_transform_type(s: str) -> bool:
+    """Parity: reference model.py:134-140."""
+    return s in ("affine", "rigid") or bool(_TPS_RE.match(s))
+
+
+def parse_transform_type(s: str) -> Tuple[str, Optional[Union[float, str]]]:
+    """'tps_0.1' -> ('tps', 0.1); 'tps_loguniform' -> ('tps', 'loguniform')."""
+    m = _TPS_RE.match(s)
+    if m:
+        v = m.group(1)
+        try:
+            return "tps", float(v)
+        except ValueError:
+            return "tps", v
+    assert s in ("affine", "rigid"), f"Invalid transform_type {s}"
+    return s, None
+
+
+def sample_tps_lmbda(key, num_samples, spec, max_rand_tps_lmbda=10.0):
+    """Per-batch lambda values: constant, 'uniform', or 'loguniform'.
+
+    Parity: reference model.py:119-132 (torch.rand / scipy loguniform.rvs),
+    with explicit jax.random keys.
+    """
+    if spec == "uniform":
+        return jax.random.uniform(key, (num_samples,)) * max_rand_tps_lmbda
+    if spec == "loguniform":
+        a, b = 1e-6, max_rand_tps_lmbda
+        u = jax.random.uniform(key, (num_samples,))
+        return jnp.exp(u * (math.log(b) - math.log(a)) + math.log(a))
+    return jnp.full((num_samples,), float(spec), jnp.float32)
+
+
+class KeyMorphNet(nn.Module):
+    """Backbone + keypoint head + optional variance-weighting parameters.
+
+    The trainable part of the pipeline (what checkpoints carry). Parity:
+    reference KeyMorph.__init__/get_keypoints/weight_by_* (model.py:22-117).
+    """
+
+    backbone: nn.Module
+    num_keypoints: int
+    dim: int = 3
+    keypoint_layer: str = "com"  # "com" | "linear"
+    weight_keypoints: Optional[str] = None  # None | "variance" | "power"
+    compute_dtype: jnp.dtype = jnp.float32  # bf16 == the reference's AMP mode
+
+    def setup(self):
+        if self.weight_keypoints == "variance":
+            self.scales = self.param(
+                "scales", lambda k: jnp.ones((self.num_keypoints,))
+            )
+            self.biases = self.param(
+                "biases", lambda k: jnp.zeros((self.num_keypoints,))
+            )
+        if self.keypoint_layer == "linear":
+            self.regressor = LinearRegressor(self.num_keypoints, self.dim)
+
+    def features(self, img):
+        """img (B, 1, *spatial) channel-first -> heatmaps (B, *spatial', K)."""
+        x = jnp.moveaxis(img, 1, -1).astype(self.compute_dtype)
+        return self.backbone(x)
+
+    def keypoints_from_features(self, feat):
+        if self.keypoint_layer == "com":
+            return center_of_mass(feat, indexing="ij")
+        return self.regressor(feat)
+
+    def get_keypoints(self, img, return_feat=False):
+        feat = self.features(img)
+        points = self.keypoints_from_features(feat)
+        if return_feat:
+            return points, feat
+        return points
+
+    def weight_by_variance(self, feat1, feat2):
+        """Inverse-variance keypoint confidence (model.py:75-93). Normalized
+        per batch row (the reference's un-normalized-broadcast bug fixed)."""
+        spatial_axes = tuple(range(1, feat1.ndim - 1))
+        f1 = jax.nn.relu(feat1.astype(jnp.float32))
+        f2 = jax.nn.relu(feat2.astype(jnp.float32))
+        var1 = jnp.var(f1, axis=spatial_axes)  # (B, K)
+        var2 = jnp.var(f2, axis=spatial_axes)
+        # eps guards all-negative heatmap channels (var=0 -> inf/NaN at init;
+        # the reference NaNs identically before biases are learned)
+        eps = 1e-8
+        w1 = 1.0 / (self.scales * var1 + self.biases + eps)
+        w2 = 1.0 / (self.scales * var2 + self.biases + eps)
+        w = w1 * w2
+        return w / jnp.sum(w, axis=-1, keepdims=True)
+
+    def weight_by_power(self, feat1, feat2):
+        """Heatmap-mass keypoint confidence (model.py:95-109)."""
+        spatial_axes = tuple(range(1, feat1.ndim - 1))
+        p1 = jnp.sum(jax.nn.relu(feat1.astype(jnp.float32)), axis=spatial_axes)
+        p2 = jnp.sum(jax.nn.relu(feat2.astype(jnp.float32)), axis=spatial_axes)
+        w = p1 * p2
+        return w / jnp.sum(w, axis=-1, keepdims=True)
+
+    def __call__(self, img_f, img_m):
+        """Extract keypoints (and weights) for a pair. Returns
+        (points_f, points_m, weights-or-None)."""
+        points_f, feat_f = self.get_keypoints(img_f, return_feat=True)
+        points_m, feat_m = self.get_keypoints(img_m, return_feat=True)
+        if self.weight_keypoints == "variance":
+            weights = self.weight_by_variance(feat_f, feat_m)
+        elif self.weight_keypoints == "power":
+            weights = self.weight_by_power(feat_f, feat_m)
+        else:
+            weights = None
+        return points_f, points_m, weights
+
+
+# ---------------------------------------------------------------------------
+# Functional alignment core
+# ---------------------------------------------------------------------------
+
+
+def align_pair(
+    points_f,
+    points_m,
+    align_type: str,
+    grid_shape: Sequence[int],
+    lmbda=None,
+    weights=None,
+    num_chunks: int = 1,
+    compute_grid: bool = True,
+    compute_aligned_points: bool = False,
+):
+    """Fit the requested transform and produce flow grid / matrices / points.
+
+    Pure function of arrays + static config — the jitted heart of both
+    pairwise registration and the training step.
+
+    Returns a dict with keys among {"grid", "matrix", "points_a"}.
+    `grid` is `xy`-ordered, shaped (B, *grid_shape, dim) — the reference's
+    result contract (model.py:264-288).
+    """
+    out: Dict[str, Any] = {}
+    spatial = tuple(grid_shape)
+    if align_type in ("affine", "rigid"):
+        fit = solvers.fit_affine if align_type == "affine" else solvers.fit_rigid
+        inverse = solvers.square_matrix(fit(points_f, points_m, weights))
+        matrix = jnp.linalg.inv(inverse)
+        out["matrix"] = matrix
+        if compute_grid:
+            from keymorph_tpu.transforms.affine import affine_flow
+
+            out["grid"] = affine_flow(inverse, spatial)
+        if compute_aligned_points:
+            out["points_a"] = Coords.apply_matrix(matrix, points_m)
+    elif align_type == "tps":
+        assert lmbda is not None
+        inv_theta = solvers.fit_tps(points_f, points_m, lmbda, weights)
+        if compute_grid:
+            B = points_f.shape[0]
+            d = points_f.shape[-1]
+            n = int(np.prod(spatial))
+            grid_flat = jnp.broadcast_to(Coords.flat_norm_grid(spatial), (B, n, d))
+            moved = solvers.tps_eval_chunked(
+                inv_theta, points_f, grid_flat, num_chunks
+            )
+            out["grid"] = jnp.flip(moved.reshape(B, *spatial, d), axis=-1)
+        if compute_aligned_points:
+            theta = solvers.fit_tps(points_m, points_f, lmbda, weights)
+            out["points_a"] = solvers.tps_eval(theta, points_m, points_m)
+    else:
+        raise ValueError(f"Unknown align_type {align_type}")
+    return out
+
+
+def subsample_keypoints(key, points_f, points_m, weights, max_keypoints):
+    """Random keypoint mini-batch for TPS training (model.py:209-222)."""
+    K = points_f.shape[1]
+    idx = jax.random.permutation(key, K)[:max_keypoints]
+    points_f = points_f[:, idx]
+    points_m = points_m[:, idx]
+    if weights is not None:
+        weights = weights[:, idx]
+    return points_f, points_m, weights
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator with reference API parity
+# ---------------------------------------------------------------------------
+
+
+class KeyMorph:
+    """High-level pipeline mirroring the reference ``KeyMorph`` module.
+
+    Holds a :class:`KeyMorphNet` definition + its params and exposes:
+      * ``get_keypoints(img)``
+      * ``__call__(img_f, img_m, transform_type=..., return_aligned_points=...)``
+      * ``groupwise_register(inputs, transform_type=[...], **kwargs)``
+
+    Unlike the torch reference, the heavy work runs through cached jitted
+    callables; wall-clock timing fields in the result dict measure actual
+    device time via ``block_until_ready``.
+    """
+
+    def __init__(
+        self,
+        backbone: nn.Module,
+        num_keypoints: int,
+        dim: int = 3,
+        keypoint_layer: str = "com",
+        max_train_keypoints: Optional[int] = None,
+        use_amp: bool = False,
+        use_checkpoint: bool = False,
+        weight_keypoints: Optional[str] = None,
+        align_keypoints_in_real_world_coords: bool = False,
+        max_rand_tps_lmbda: float = 10.0,
+        num_subgrids: int = 4,
+    ):
+        assert weight_keypoints in (None, "variance", "power")
+        self.net = KeyMorphNet(
+            backbone=backbone,
+            num_keypoints=num_keypoints,
+            dim=dim,
+            keypoint_layer=keypoint_layer,
+            weight_keypoints=weight_keypoints,
+            compute_dtype=jnp.bfloat16 if use_amp else jnp.float32,
+        )
+        self.num_keypoints = num_keypoints
+        self.dim = dim
+        self.max_train_keypoints = max_train_keypoints
+        self.use_amp = use_amp
+        self.use_checkpoint = use_checkpoint
+        self.weight_keypoints = weight_keypoints
+        self.align_keypoints_in_real_world_coords = align_keypoints_in_real_world_coords
+        self.max_rand_tps_lmbda = max_rand_tps_lmbda
+        self.num_subgrids = num_subgrids
+        self.params = None
+        self.training = False
+        self._extract_jit = None
+        self._get_keypoints_jit = None
+        self._rng = jax.random.PRNGKey(0)
+
+    # -- param management ---------------------------------------------------
+    def init_params(self, rng, example_img):
+        """Initialize network parameters from an example (B, 1, *S) image."""
+        self.params = self.net.init(
+            rng, jnp.asarray(example_img), jnp.asarray(example_img)
+        )
+        return self.params
+
+    def train(self, mode=True):
+        self.training = mode
+        return self
+
+    def eval(self):
+        return self.train(False)
+
+    def seed_rng(self, seed: int):
+        self._rng = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    # -- keypoint extraction --------------------------------------------------
+    def _ensure_extract_jit(self):
+        if self._extract_jit is None:
+            self._extract_jit = jax.jit(
+                lambda p, f, m: self.net.apply(p, f, m)
+            )
+        return self._extract_jit
+
+    def get_keypoints(self, img, return_feat=False):
+        """Parity: reference model.py:111-117."""
+        assert self.params is not None, "call init_params first"
+        if self._get_keypoints_jit is None:
+            self._get_keypoints_jit = jax.jit(
+                partial(self.net.apply, method=KeyMorphNet.get_keypoints),
+                static_argnames=("return_feat",),
+            )
+        return self._get_keypoints_jit(
+            self.params, jnp.asarray(img), return_feat=return_feat
+        )
+
+    def _convert_tps_lmbda(self, num_samples, tps_lmbda):
+        """Parity: reference model.py:119-132."""
+        return sample_tps_lmbda(
+            self._next_key(), num_samples, tps_lmbda, self.max_rand_tps_lmbda
+        )
+
+    is_supported_transform_type = staticmethod(is_supported_transform_type)
+
+    # -- pairwise forward -----------------------------------------------------
+    def __call__(self, img_f, img_m, transform_type="affine", **kwargs):
+        return self.forward(img_f, img_m, transform_type, **kwargs)
+
+    def forward(
+        self, img_f, img_m, transform_type="affine", **kwargs
+    ) -> RegistrationResult:
+        """One forward pass; many transform types per keypoint extraction.
+
+        Parity: reference model.py:142-289 (same result-dict contract).
+        kwargs: return_aligned_points (default False), aff_f/aff_m for
+        real-world alignment mode.
+        """
+        return_aligned_points = kwargs.get("return_aligned_points", False)
+        if not isinstance(transform_type, (list, tuple)):
+            transform_type = [transform_type]
+        if self.training:
+            assert len(transform_type) == 1, "Only one alignment type in training"
+        assert all(is_supported_transform_type(s) for s in transform_type)
+
+        img_f = jnp.asarray(img_f)
+        img_m = jnp.asarray(img_m)
+        assert img_f.shape[1] == 1 and img_m.shape[1] == 1, "Image channel must be 1"
+
+        rw = self.align_keypoints_in_real_world_coords
+        if rw:
+            aff_f, aff_m = jnp.asarray(kwargs["aff_f"]), jnp.asarray(kwargs["aff_m"])
+            shape_f, shape_m = img_f.shape[2:], img_m.shape[2:]
+        else:
+            aff_f = aff_m = None
+            shape_f = shape_m = None
+
+        t0 = time.time()
+        extract = self._ensure_extract_jit()
+        points_f, points_m, weights = extract(self.params, img_f, img_m)
+        jax.block_until_ready(points_f)
+        keypoint_extract_time = time.time() - t0
+
+        result: RegistrationResult = {}
+        for align_type_str in transform_type:
+            t0 = time.time()
+            align_type, lmbda_spec = parse_transform_type(align_type_str)
+            tps_lmbda = (
+                self._convert_tps_lmbda(len(img_f), lmbda_spec)
+                if align_type == "tps"
+                else None
+            )
+
+            p_f, p_m, w = points_f, points_m, weights
+            if (
+                self.training
+                and align_type == "tps"
+                and self.max_train_keypoints
+                and self.num_keypoints > self.max_train_keypoints
+            ):
+                p_f, p_m, w = subsample_keypoints(
+                    self._next_key(), p_f, p_m, w, self.max_train_keypoints
+                )
+
+            common = dict(
+                w=w,
+                dim=self.dim,
+                align_in_real_world_coords=rw,
+                aff_f=aff_f,
+                aff_m=aff_m,
+                shape_f=shape_f,
+                shape_m=shape_m,
+            )
+            if align_type == "rigid":
+                aligner = RigidKeypointAligner(points_m=p_m, points_f=p_f, **common)
+            elif align_type == "affine":
+                aligner = AffineKeypointAligner(points_m=p_m, points_f=p_f, **common)
+            else:
+                aligner = TPS(
+                    points_m=p_m,
+                    points_f=p_f,
+                    lmbda=tps_lmbda,
+                    num_subgrids=self.num_subgrids,
+                    use_checkpoint=self.use_checkpoint,
+                    **common,
+                )
+
+            grid = aligner.get_flow_field(
+                img_f.shape, compute_on_subgrids=not self.training
+            )
+            if return_aligned_points:
+                points_a = aligner.get_forward_transformed_points(p_m)
+            jax.block_until_ready(grid)
+            align_time = time.time() - t0
+
+            res = {
+                "grid": grid,
+                "points_f": p_f,
+                "points_m": p_m,
+                "points_weights": w,
+                "tps_lmbda": tps_lmbda,
+                "time_keypoint_extract": keypoint_extract_time,
+                "time_align": align_time,
+                "time": keypoint_extract_time + align_time,
+            }
+            if align_type in ("rigid", "affine"):
+                res["matrix"] = aligner.transform_matrix
+            if return_aligned_points:
+                res["points_a"] = points_a
+            result[align_type_str] = res
+        return result
+
+    def pairwise_register(self, *args, **kwargs):
+        """Alias for forward() (the reference's alias is broken; model.py:291-293)."""
+        return self.forward(*args, **kwargs)
+
+    # -- groupwise ------------------------------------------------------------
+    def groupwise_register(
+        self, inputs, transform_type="affine", **kwargs
+    ) -> RegistrationResult:
+        """Iterative mean-keypoint groupwise registration.
+
+        Parity: reference model.py:295-530 — but the per-subject Python loop
+        becomes one batched solve over the subject axis (all subjects register
+        to the mean simultaneously), and grids are produced by a scan.
+
+        inputs: directory of ``img_*.npz`` files, list of paths, or an
+        (N, 1, *spatial) stacked array.
+        kwargs: num_iters (required), device/save_dir/save_results_to_disk/
+        log_to_console (optional, mirroring the reference).
+        """
+        num_iters = kwargs["num_iters"]
+        log = kwargs.get("log_to_console", False)
+        save_results_to_disk = kwargs.get("save_results_to_disk", False)
+        save_dir = kwargs.get("save_dir")
+
+        if not isinstance(transform_type, (list, tuple)):
+            transform_type = [transform_type]
+
+        # Stream subjects; keep only keypoints on device (model.py:396-419).
+        if isinstance(inputs, str):
+            files = sorted(
+                os.path.join(inputs, f)
+                for f in os.listdir(inputs)
+                if f.endswith(".npz")
+            )
+            if not files:
+                raise ValueError(f"No .npz files found in {inputs}")
+            loader = (np.load(f)["img"] for f in files)
+            num_subjects = len(files)
+        elif isinstance(inputs, (list, tuple)):
+            loader = (
+                np.load(f)["img"] if isinstance(f, str) else np.asarray(f)
+                for f in inputs
+            )
+            num_subjects = len(inputs)
+        else:
+            arr = np.asarray(inputs)
+            loader = (arr[i : i + 1] for i in range(len(arr)))
+            num_subjects = len(arr)
+
+        group_points = []
+        spatial = None
+        for i, img in enumerate(loader):
+            img = jnp.asarray(img, jnp.float32)
+            if img.ndim == self.dim + 1:
+                img = img[None]
+            spatial = img.shape
+            group_points.append(np.asarray(self.get_keypoints(img)))
+            if log:
+                print(f"-> Extracted keypoints from subject {i+1}/{num_subjects}")
+        group_points = jnp.concatenate([jnp.asarray(p) for p in group_points], axis=0)
+
+        result: RegistrationResult = {}
+        for align_type_str in transform_type:
+            t0 = time.time()
+            align_type, lmbda_spec = parse_transform_type(align_type_str)
+            tps_lmbda = (
+                self._convert_tps_lmbda(1, lmbda_spec) if align_type == "tps" else None
+            )
+
+            curr = group_points
+            mean_points = None
+            for _ in range(num_iters):
+                mean_points = jnp.mean(curr, axis=0, keepdims=True)
+                mean_b = jnp.broadcast_to(mean_points, curr.shape)
+                lm = (
+                    jnp.broadcast_to(tps_lmbda, (curr.shape[0],))
+                    if tps_lmbda is not None
+                    else None
+                )
+                aligned = align_pair(
+                    mean_b,
+                    curr,
+                    align_type,
+                    (),
+                    lmbda=lm,
+                    compute_grid=False,
+                    compute_aligned_points=True,
+                )["points_a"]
+                curr = aligned
+
+            register_time = time.time() - t0
+            res = {
+                "time": register_time,
+                "grouppoints_m": group_points,
+                "grouppoints_a": curr,
+            }
+
+            # grids: original points -> final mean points (model.py:453-510)
+            grid_spatial = spatial[2:]
+            lm = (
+                jnp.broadcast_to(tps_lmbda, (1,)) if tps_lmbda is not None else None
+            )
+            grids = []
+            for i in range(num_subjects):
+                g = align_pair(
+                    mean_points,
+                    group_points[i : i + 1],
+                    align_type,
+                    grid_spatial,
+                    lmbda=lm,
+                    num_chunks=self.num_subgrids,
+                    compute_grid=True,
+                )["grid"]
+                if save_results_to_disk and save_dir:
+                    path = os.path.join(save_dir, f"{align_type_str}_grid_{i:03}.npy")
+                    np.save(path, np.asarray(g))
+                    if log:
+                        print(f"-> Saved grid {i+1}/{num_subjects} to {path}")
+                else:
+                    grids.append(g)
+            if grids:
+                res["groupgrids"] = jnp.concatenate(grids, axis=0)
+            result[align_type_str] = res
+        if log:
+            print("Groupwise registration complete!")
+        return result

@@ -1,0 +1,262 @@
+"""U-Net backbones (Flax) with the reference's architecture semantics.
+
+Parity anchors: reference keymorph/unet3d/{model,buildingblocks}.py —
+  * f_maps geometric ladder: [f * 2^k] (unet3d/utils.py:109-110)
+  * layer order "gcr": GroupNorm -> Conv(no bias) -> ReLU
+    (buildingblocks.py:10-95)
+  * DoubleConv channel plan: encoder conv1 out = max(out//2, in)
+    (buildingblocks.py:170-181)
+  * encoders: MaxPool(2) before every block except the first
+    (buildingblocks.py:478-520)
+  * decoders: nearest-neighbor upsample to the skip's size + concat
+    (buildingblocks.py:523-582)
+  * TruncatedUNet3D: drop the last `num_truncated_layers` decoders; the
+    final 1x1 conv reads f_maps[num_truncated_layers] (model.py:307-430) —
+    output at reduced resolution (fine: the CoM head is resolution-agnostic)
+  * SimpleUnet brain extractor (model.py:533-616)
+
+Feature maps are channel-last ((B, *spatial, C)); gradient checkpointing is a
+`jax.checkpoint` policy applied per block when `use_checkpoint` is set
+(the reference's torch.utils.checkpoint flag, unet3d/model.py:115-151).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def number_of_features_per_level(init_channels: int, num_levels: int):
+    """f_maps ladder (reference unet3d/utils.py:109-110)."""
+    return [init_channels * 2**k for k in range(num_levels)]
+
+
+class SingleConv(nn.Module):
+    """One 'gcr'-style layer: norm -> conv -> activation, order-configurable.
+
+    Supported order chars (reference buildingblocks.py:10-95): 'g' groupnorm,
+    'b' batchnorm, 'c' conv, 'r' ReLU, 'l' LeakyReLU, 'e' ELU. Conv has a
+    bias only when no norm is present, matching the reference.
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    order: str = "gcr"
+    num_groups: int = 8
+    padding: int = 1
+    dim: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert "c" in self.order, "Conv layer MUST be present"
+        use_bias = not ("g" in self.order or "b" in self.order)
+        for ch in self.order:
+            if ch == "c":
+                x = nn.Conv(
+                    self.out_channels,
+                    kernel_size=(self.kernel_size,) * self.dim,
+                    padding=self.padding,
+                    use_bias=use_bias,
+                    dtype=self.dtype,
+                )(x)
+            elif ch == "g":
+                c = x.shape[-1]
+                # largest group count <= num_groups that divides c (identical
+                # to the reference when c % num_groups == 0, which holds for
+                # the canonical f_maps=32 ladder; robust otherwise)
+                groups = next(
+                    g for g in range(min(self.num_groups, c), 0, -1) if c % g == 0
+                )
+                x = nn.GroupNorm(num_groups=groups, dtype=self.dtype)(x)
+            elif ch == "b":
+                x = nn.BatchNorm(use_running_average=False, dtype=self.dtype)(x)
+            elif ch == "r":
+                x = jax.nn.relu(x)
+            elif ch == "l":
+                x = jax.nn.leaky_relu(x, negative_slope=0.1)
+            elif ch == "e":
+                x = jax.nn.elu(x)
+            else:
+                raise ValueError(f"Unsupported layer char '{ch}'")
+        return x
+
+
+class DoubleConv(nn.Module):
+    """Two stacked SingleConvs with the reference's channel plan."""
+
+    out_channels: int
+    encoder: bool
+    kernel_size: int = 3
+    order: str = "gcr"
+    num_groups: int = 8
+    padding: int = 1
+    dim: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        if self.encoder:
+            mid = max(self.out_channels // 2, in_channels)
+        else:
+            mid = self.out_channels
+        kw = dict(
+            kernel_size=self.kernel_size,
+            order=self.order,
+            num_groups=self.num_groups,
+            padding=self.padding,
+            dim=self.dim,
+            dtype=self.dtype,
+        )
+        x = SingleConv(mid, **kw)(x)
+        x = SingleConv(self.out_channels, **kw)(x)
+        return x
+
+
+def _maxpool(x, dim):
+    return nn.max_pool(x, window_shape=(2,) * dim, strides=(2,) * dim)
+
+
+def _nearest_upsample_to(x, target_spatial):
+    """Nearest-neighbor resize of channel-last x to target spatial size
+    (the reference's F.interpolate(mode='nearest'), buildingblocks.py:568-582)."""
+    B, *spatial, C = x.shape
+    out = x
+    for axis, (s, t) in enumerate(zip(spatial, target_spatial), start=1):
+        if s == t:
+            continue
+        # torch nearest: src_idx = floor(dst_idx * s / t)
+        idx = jnp.floor(jnp.arange(t) * (s / t)).astype(jnp.int32)
+        out = jnp.take(out, idx, axis=axis)
+    return out
+
+
+class AbstractUNet(nn.Module):
+    """Configurable encoder/decoder U-Net (reference unet3d/model.py:14-151)."""
+
+    out_channels: int
+    f_maps: int = 64
+    layer_order: str = "gcr"
+    num_groups: int = 8
+    num_levels: int = 4
+    num_truncated_layers: int = 0
+    is_segmentation: bool = False
+    final_sigmoid: bool = False
+    conv_kernel_size: int = 3
+    conv_padding: int = 1
+    dim: int = 3
+    dtype: jnp.dtype = jnp.float32
+    use_checkpoint: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if isinstance(self.f_maps, int):
+            f_maps = number_of_features_per_level(self.f_maps, self.num_levels)
+        else:
+            f_maps = list(self.f_maps)
+        assert len(f_maps) > 1, "Required at least 2 levels in the U-Net"
+
+        kw = dict(
+            kernel_size=self.conv_kernel_size,
+            order=self.layer_order,
+            num_groups=self.num_groups,
+            padding=self.conv_padding,
+            dim=self.dim,
+            dtype=self.dtype,
+        )
+
+        block_cls = nn.remat(DoubleConv) if self.use_checkpoint else DoubleConv
+
+        def block(out_ch, encoder):
+            return block_cls(out_ch, encoder=encoder, **kw)
+
+        # encoder path
+        skips = []
+        for i, ch in enumerate(f_maps):
+            if i > 0:
+                x = _maxpool(x, self.dim)
+            x = block(ch, encoder=True)(x)
+            skips.append(x)
+
+        # decoder path: deepest skip is the input; truncation drops the last
+        # (highest-resolution) decoders (reference model.py:383-391)
+        reversed_f = list(reversed(f_maps))
+        num_decoders = len(reversed_f) - 1 - self.num_truncated_layers
+        skips = skips[:-1][::-1]  # encoder features to join, deepest first
+        for i in range(num_decoders):
+            enc = skips[i]
+            x = _nearest_upsample_to(x, enc.shape[1:-1])
+            x = jnp.concatenate([enc, x], axis=-1)
+            x = block(reversed_f[i + 1], encoder=False)(x)
+
+        x = nn.Conv(self.out_channels, kernel_size=(1,) * self.dim, dtype=self.dtype)(x)
+
+        if self.is_segmentation and not train:
+            x = jax.nn.sigmoid(x) if self.final_sigmoid else jax.nn.softmax(x, axis=-1)
+        return x
+
+
+class UNet3D(AbstractUNet):
+    """3D U-Net (reference unet3d/model.py:154-189)."""
+
+    dim: int = 3
+
+
+class UNet2D(AbstractUNet):
+    """2D U-Net (reference unet3d/model.py:266-297)."""
+
+    dim: int = 2
+
+
+class TruncatedUNet3D(AbstractUNet):
+    """U-Net minus the last `num_truncated_layers` decoders
+    (reference unet3d/model.py:307-430). Set num_truncated_layers > 0."""
+
+    dim: int = 3
+
+
+class SimpleUnet(nn.Module):
+    """Small skip-connection U-Net used by the brain extractor
+    (reference keymorph/model.py:533-616). Trilinear upsampling, instance
+    norm, 3^3 convs.
+    """
+
+    out_channels: int = 1
+    enc_nf: Sequence[int] = (4, 8, 16, 32)
+    dec_nf: Sequence[int] = (32, 16, 8, 4)
+    use_in: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def simple_block(h, ch):
+            h = nn.Conv(ch, kernel_size=(3, 3, 3), padding=1, dtype=self.dtype)(h)
+            if self.use_in:
+                h = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype)(h)
+            return jax.nn.relu(h)
+
+        def up2(h):
+            # trilinear (align_corners=False) x2 upsample
+            B, *spatial, C = h.shape
+            new = tuple(2 * s for s in spatial)
+            return jax.image.resize(h, (B, *new, C), method="trilinear")
+
+        x0 = simple_block(x, self.enc_nf[0])
+        x1 = simple_block(_maxpool(x0, 3), self.enc_nf[1])
+        x2 = simple_block(_maxpool(x1, 3), self.enc_nf[2])
+        x3 = simple_block(_maxpool(x2, 3), self.enc_nf[3])
+
+        h = simple_block(_maxpool(x3, 3), self.dec_nf[0])
+        h = up2(h)
+        h = simple_block(jnp.concatenate([h, x3], -1), self.dec_nf[1])
+        h = up2(h)
+        h = simple_block(jnp.concatenate([h, x2], -1), self.dec_nf[2])
+        h = up2(h)
+        h = simple_block(jnp.concatenate([h, x1], -1), self.dec_nf[3])
+        h = up2(h)
+        h = simple_block(jnp.concatenate([h, x0], -1), self.out_channels)
+        return nn.Conv(self.out_channels, kernel_size=(3, 3, 3), padding=1, dtype=self.dtype)(h)

@@ -1,0 +1,172 @@
+"""Backbone + pipeline tests: shapes, jit-ability, end-to-end forward."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from keymorph_tpu.models import ConvNet, UNet3D, UNet2D, TruncatedUNet3D, SimpleUnet
+from keymorph_tpu.models.keymorph import (
+    KeyMorph,
+    KeyMorphNet,
+    parse_transform_type,
+    is_supported_transform_type,
+    sample_tps_lmbda,
+)
+
+
+def test_parse_transform_type():
+    assert parse_transform_type("affine") == ("affine", None)
+    assert parse_transform_type("rigid") == ("rigid", None)
+    assert parse_transform_type("tps_0.1") == ("tps", 0.1)
+    assert parse_transform_type("tps_0") == ("tps", 0.0)
+    assert parse_transform_type("tps_loguniform") == ("tps", "loguniform")
+    assert is_supported_transform_type("tps_10")
+    assert not is_supported_transform_type("bspline")
+
+
+def test_sample_tps_lmbda():
+    key = jax.random.PRNGKey(0)
+    const = np.asarray(sample_tps_lmbda(key, 4, 0.5))
+    np.testing.assert_allclose(const, 0.5)
+    uni = np.asarray(sample_tps_lmbda(key, 1000, "uniform", 10.0))
+    assert 0 <= uni.min() and uni.max() <= 10.0
+    logu = np.asarray(sample_tps_lmbda(key, 1000, "loguniform", 10.0))
+    assert 1e-6 <= logu.min() and logu.max() <= 10.0
+    # loguniform should produce plenty of tiny values
+    assert (logu < 0.01).mean() > 0.3
+
+
+def test_unet3d_shapes():
+    model = UNet3D(out_channels=8, f_maps=4, num_levels=3)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 16, 16, 8)
+
+
+def test_unet2d_shapes():
+    model = UNet2D(out_channels=4, f_maps=4, num_levels=3)
+    x = jnp.zeros((2, 32, 32, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 32, 32, 4)
+
+
+def test_truncated_unet3d_reduced_resolution():
+    model = TruncatedUNet3D(out_channels=8, f_maps=4, num_levels=3, num_truncated_layers=1)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    # one decoder dropped -> output at half resolution
+    assert y.shape == (1, 8, 8, 8, 8)
+
+
+def test_convnet_shapes():
+    model = ConvNet(out_dim=8, dim=2, norm_type="instance")
+    x = jnp.zeros((1, 32, 32, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 2, 2, 8)  # 16x downsample
+
+
+def test_simple_unet_shapes():
+    model = SimpleUnet(out_channels=1)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 16, 16, 1)
+
+
+@pytest.fixture(scope="module")
+def small_keymorph():
+    backbone = UNet3D(out_channels=16, f_maps=2, num_levels=2)
+    km = KeyMorph(backbone=backbone, num_keypoints=16, dim=3)
+    img = jnp.zeros((1, 1, 12, 12, 12))
+    km.init_params(jax.random.PRNGKey(0), img)
+    return km
+
+
+def test_keymorph_keypoints_in_range(small_keymorph, rng):
+    img = jnp.asarray(rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32))
+    pts = np.asarray(small_keymorph.get_keypoints(img))
+    assert pts.shape == (1, 16, 3)
+    assert (pts >= -1).all() and (pts <= 1).all()
+
+
+def test_keymorph_forward_contract(small_keymorph, rng):
+    img_f = jnp.asarray(rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32))
+    img_m = jnp.asarray(rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32))
+    res = small_keymorph(
+        img_f,
+        img_m,
+        transform_type=["rigid", "affine", "tps_0.1"],
+        return_aligned_points=True,
+    )
+    assert set(res.keys()) == {"rigid", "affine", "tps_0.1"}
+    for name, r in res.items():
+        assert r["grid"].shape == (1, 12, 12, 12, 3)
+        assert r["points_f"].shape == (1, 16, 3)
+        assert r["points_a"].shape == (1, 16, 3)
+        assert r["time"] >= 0
+        if name in ("rigid", "affine"):
+            assert r["matrix"].shape == (1, 4, 4)
+        if name.startswith("tps"):
+            np.testing.assert_allclose(np.asarray(r["tps_lmbda"]), 0.1)
+
+
+def test_keymorph_self_registration_identity(small_keymorph, rng):
+    """Registering an image to itself must give an identity transform."""
+    img = jnp.asarray(rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32))
+    res = small_keymorph(img, img, transform_type="affine")
+    m = np.asarray(res["affine"]["matrix"])[0]
+    np.testing.assert_allclose(m, np.eye(4), atol=1e-3)
+
+
+def test_keymorph_weighted_variants(rng):
+    backbone = UNet3D(out_channels=8, f_maps=2, num_levels=2)
+    for weighting in ("power", "variance"):
+        km = KeyMorph(
+            backbone=backbone, num_keypoints=8, dim=3, weight_keypoints=weighting
+        )
+        img = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 8)).astype(np.float32))
+        km.init_params(jax.random.PRNGKey(1), img)
+        res = km(img, img, transform_type="affine")
+        w = np.asarray(res["affine"]["points_weights"])
+        assert w.shape == (1, 8)
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-4)
+
+
+def test_keymorph_train_subsampling(rng):
+    backbone = UNet3D(out_channels=32, f_maps=2, num_levels=2)
+    km = KeyMorph(backbone=backbone, num_keypoints=32, dim=3, max_train_keypoints=8)
+    img = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 8)).astype(np.float32))
+    km.init_params(jax.random.PRNGKey(2), img)
+    km.train()
+    res = km(img, img, transform_type="tps_0.5")
+    assert res["tps_0.5"]["points_f"].shape == (1, 8, 3)
+
+
+def test_keymorph_groupwise(rng):
+    backbone = UNet3D(out_channels=8, f_maps=2, num_levels=2)
+    km = KeyMorph(backbone=backbone, num_keypoints=8, dim=3)
+    imgs = jnp.asarray(rng.normal(size=(4, 1, 8, 8, 8)).astype(np.float32))
+    km.init_params(jax.random.PRNGKey(3), imgs[:1])
+    res = km.groupwise_register(imgs, transform_type=["affine"], num_iters=2)
+    r = res["affine"]
+    assert r["grouppoints_m"].shape == (4, 8, 3)
+    assert r["grouppoints_a"].shape == (4, 8, 3)
+    assert r["groupgrids"].shape == (4, 8, 8, 8, 3)
+    # aligned points should be closer to their mean than the originals
+    spread = lambda p: float(np.mean(np.var(np.asarray(p), axis=0)))
+    assert spread(r["grouppoints_a"]) <= spread(r["grouppoints_m"]) + 1e-6
+
+
+def test_keymorph_bf16_amp(rng):
+    backbone = UNet3D(out_channels=8, f_maps=2, num_levels=2, dtype=jnp.bfloat16)
+    km = KeyMorph(backbone=backbone, num_keypoints=8, dim=3, use_amp=True)
+    img = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 8)).astype(np.float32))
+    km.init_params(jax.random.PRNGKey(4), img)
+    pts = km.get_keypoints(img)
+    # keypoints must come out fp32 (CoM is fp32 regardless of backbone dtype)
+    assert pts.dtype == jnp.float32
