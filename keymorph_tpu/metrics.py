@@ -1,0 +1,358 @@
+"""Evaluation metrics.
+
+Hot metrics (Dice, Jacobian-determinant stats, LC2) are jax/XLA so they run
+on-device; Hausdorff stays host-side scipy exactly like the reference
+(EDT has no good TPU formulation; reference loss_ops.py:121-157 is also CPU).
+
+Parity anchors: reference keymorph/loss_ops.py:66-551.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.ndimage
+
+from keymorph_tpu.losses import DiceLoss, MSELoss, mse_loss  # noqa: F401
+
+
+def _to_numpy(t):
+    return np.asarray(t)
+
+
+# ---------------------------------------------------------------------------
+# Dice (label-map variant)
+# ---------------------------------------------------------------------------
+
+
+def fast_dice(x, y):
+    """Mean Dice over the union of labels via the histogram2d trick.
+
+    Args:
+        x, y: (B, C, *spatial) one-hot/prob maps (argmaxed internally).
+    Parity: reference loss_ops.py:66-106.
+    """
+    x = _to_numpy(x).argmax(1)
+    y = _to_numpy(y).argmax(1)
+    labels = np.unique(np.concatenate([np.unique(x), np.unique(y)]))
+    assert x.shape == y.shape
+    if len(labels) > 1:
+        labels_sorted = np.sort(labels)
+        edges = np.sort(np.concatenate([labels_sorted - 0.1, labels_sorted + 0.1]))
+        edges = np.insert(
+            edges, [0, len(edges)], [labels_sorted[0] - 0.1, labels_sorted[-1] + 0.1]
+        )
+        hst = np.histogram2d(x.flatten(), y.flatten(), bins=edges)[0]
+        idx = np.arange(start=1, stop=2 * len(labels_sorted), step=2)
+        dice_score = (
+            2 * np.diag(hst)[idx] / (np.sum(hst, 0)[idx] + np.sum(hst, 1)[idx] + 1e-5)
+        )
+        dice_score = dice_score[np.searchsorted(labels_sorted, labels)]
+    else:
+        dice_score = dice(x == labels[0], y == labels[0])
+    return np.mean(dice_score)
+
+
+def dice(x, y):
+    """Dice of two binary numpy arrays (reference loss_ops.py:109-111)."""
+    return 2 * np.sum(x * y) / (np.sum(x) + np.sum(y))
+
+
+# ---------------------------------------------------------------------------
+# Hausdorff distance (host-side scipy, like the reference)
+# ---------------------------------------------------------------------------
+
+
+def _surface_distances(input1, input2, sampling=1, connectivity=1):
+    """Surface distance samples via binary erosion + EDT
+    (reference loss_ops.py:121-139)."""
+    input_1 = np.atleast_1d(input1.astype(bool))
+    input_2 = np.atleast_1d(input2.astype(bool))
+    conn = scipy.ndimage.generate_binary_structure(input_1.ndim, connectivity)
+    S = input_1 ^ scipy.ndimage.binary_erosion(input_1, conn)
+    Sprime = input_2 ^ scipy.ndimage.binary_erosion(input_2, conn)
+    dta = scipy.ndimage.distance_transform_edt(~S, sampling)
+    dtb = scipy.ndimage.distance_transform_edt(~Sprime, sampling)
+    return np.concatenate([np.ravel(dta[Sprime != 0]), np.ravel(dtb[S != 0])])
+
+
+def hausdorff_distance(test_seg, gt_seg, sampling=(1.25, 1.25, 10)):
+    """Max surface distance on channel 0 (assumed background/brain surface),
+    averaged over the batch; anisotropic sampling matches the reference
+    (loss_ops.py:142-157)."""
+    test_seg = _to_numpy(test_seg)
+    gt_seg = _to_numpy(gt_seg)
+    hd = 0.0
+    for i in range(len(test_seg)):
+        hd += _surface_distances(test_seg[i, 0], gt_seg[i, 0], list(sampling), 1).max()
+    return hd / len(test_seg)
+
+
+# ---------------------------------------------------------------------------
+# Jacobian determinant of a displacement field
+# ---------------------------------------------------------------------------
+
+
+def _central_diff(x, axis):
+    """0.5 * (x[i+1] - x[i-1]) with zero boundary (scipy correlate, mode
+    'constant'); boundary voxels are cropped by the caller anyway."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad)
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    lo[axis] = slice(0, x.shape[axis])
+    hi[axis] = slice(2, x.shape[axis] + 2)
+    return 0.5 * (xp[tuple(hi)] - xp[tuple(lo)])
+
+
+@jax.jit
+def jacobian_determinant(disp):
+    """det(J) of displacement field `disp` (B, 3, D, H, W), cropped 2 voxels.
+
+    Pure convolution + 3x3 determinant — runs on TPU (the reference's numpy
+    version, loss_ops.py:161-233, is the parity oracle in tests).
+    Returns (B, D-4, H-4, W-4).
+    """
+    disp = jnp.asarray(disp, jnp.float32)
+    grads = []
+    for axis in (2, 3, 4):  # z, y, x derivative axes
+        grads.append(_central_diff(disp, axis))  # each (B, 3, D, H, W)
+    J = jnp.stack(grads, axis=1)  # (B, deriv, comp, D, H, W)
+    J = J + jnp.eye(3, dtype=jnp.float32)[None, :, :, None, None, None]
+    J = J[:, :, :, 2:-2, 2:-2, 2:-2]
+    a, b, c = J[:, 0, 0], J[:, 0, 1], J[:, 0, 2]
+    d, e, f = J[:, 1, 0], J[:, 1, 1], J[:, 1, 2]
+    g, h, i = J[:, 2, 0], J[:, 2, 1], J[:, 2, 2]
+    return a * (e * i - f * h) - d * (b * i - c * h) + g * (b * f - c * e)
+
+
+def jdstd(disp):
+    """Std of the Jacobian determinant (reference loss_ops.py:236-239)."""
+    return float(jnp.std(jacobian_determinant(jnp.asarray(disp))))
+
+
+def jdlessthan0(disp, as_percentage=False):
+    """Count (or fraction) of non-positive Jacobian determinants
+    (reference loss_ops.py:242-247)."""
+    jd = jacobian_determinant(jnp.asarray(disp))
+    if as_percentage:
+        return float(jnp.mean(jd <= 0))
+    return int(jnp.sum(jd <= 0))
+
+
+# ---------------------------------------------------------------------------
+# LC2 multimodal similarity
+# ---------------------------------------------------------------------------
+
+_GRAD_FILTER = np.zeros((3, 1, 3, 3, 3), np.float32)
+_GRAD_FILTER[0, 0, 1, 1, 0] = 1
+_GRAD_FILTER[0, 0, 1, 1, 2] = -1
+_GRAD_FILTER[1, 0, 1, 0, 1] = 1
+_GRAD_FILTER[1, 0, 1, 2, 1] = -1
+_GRAD_FILTER[2, 0, 0, 1, 1] = 1
+_GRAD_FILTER[2, 0, 2, 1, 1] = -1
+
+
+def _lc2_run(us, mr, radius, alpha=1e-3, beta=1e-2):
+    """Single-scale LC2 (reference loss_ops.py:268-302)."""
+    us = jnp.asarray(us, jnp.float32)[:, 0]
+    mr = jnp.asarray(mr, jnp.float32)[:, 0]
+    bs = mr.shape[0]
+    size = mr.shape[1]
+    pad = (size - (2 * radius + 1)) // 2
+    count = (2 * radius + 1) ** 3
+
+    grad = jax.lax.conv_general_dilated(
+        mr[:, None],
+        jnp.asarray(_GRAD_FILTER),
+        window_strides=(1, 1, 1),
+        padding=[(1, 1)] * 3,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+    grad = jnp.linalg.norm(grad, axis=1)
+
+    sl = (slice(None),) + (slice(pad, size - pad),) * 3
+    A = jnp.stack(
+        [
+            mr[sl].reshape(bs, -1),
+            grad[sl].reshape(bs, -1),
+            jnp.ones((bs, count), jnp.float32),
+        ],
+        axis=1,
+    )
+    b = us[sl].reshape(bs, -1)
+    C = jnp.einsum("bip,bjp->bij", A, A) / count + jnp.eye(3)[None] * alpha
+    Atb = jnp.einsum("bip,bp->bi", A, b) / count
+    coeff = jnp.linalg.solve(C, Atb[..., None])[..., 0]
+    var = jnp.mean(b**2, axis=1) - jnp.mean(b, axis=1) ** 2
+    dist = (
+        jnp.mean(b**2, axis=1)
+        + jnp.einsum("bi,bj,bij->b", coeff, coeff, C)
+        - 2 * jnp.einsum("bi,bi->b", coeff, Atb)
+    )
+    sym = (var - dist) / jnp.maximum(var, beta)
+    return jnp.clip(sym, 0.0, 1.0)
+
+
+class LC2:
+    """Local correlation-of-correlations similarity, multi-radius average.
+
+    Parity: reference loss_ops.py:250-302.
+    """
+
+    def __init__(self, radiuses: Sequence[int] = (3, 5, 7)):
+        self.radiuses = radiuses
+
+    def __call__(self, us, mr):
+        s = _lc2_run(us, mr, self.radiuses[0])
+        for r in self.radiuses[1:]:
+            s = s + _lc2_run(us, mr, r)
+        return s / len(self.radiuses)
+
+    forward = __call__
+
+
+class ImageLC2:
+    """Patchwise LC2 over an unfolded image (reference loss_ops.py:305-391)."""
+
+    def __init__(self, patch_size: int = 51, radiuses: Sequence[int] = (5,), reduction="mean"):
+        assert reduction in ("mean", None)
+        self.patch_size = patch_size
+        self.radii = radiuses
+        self.reduction = reduction
+
+    @staticmethod
+    def patch2batch(x, size, stride):
+        """Non-overlapping (stride == size) patch extraction -> batch."""
+        x = jnp.asarray(x)
+        nch = x.shape[1]
+        spatial = x.shape[2:]
+        d = len(spatial)
+        counts = [(s - size) // stride + 1 for s in spatial]
+        # crop to the unfold coverage, reshape into blocks
+        crop = [slice(None), slice(None)] + [
+            slice(0, (c - 1) * stride + size) for c in counts
+        ]
+        x = x[tuple(crop)]
+        if d == 2:
+            x = x.reshape(-1, nch, counts[0], size, counts[1], size)
+            x = jnp.moveaxis(x, 4, 3).reshape(-1, nch, size, size)
+        else:
+            x = x.reshape(-1, nch, counts[0], size, counts[1], size, counts[2], size)
+            x = jnp.transpose(x, (0, 1, 2, 4, 6, 3, 5, 7)).reshape(
+                -1, nch, size, size, size
+            )
+        return x
+
+    def __call__(self, us, mr):
+        assert us.shape == mr.shape
+        us_p = self.patch2batch(us, self.patch_size, self.patch_size)
+        mr_p = self.patch2batch(mr, self.patch_size, self.patch_size)
+        s = _lc2_run(us_p, mr_p, self.radii[0])
+        for r in self.radii[1:]:
+            s = s + _lc2_run(us_p, mr_p, r)
+        s = s / len(self.radii)
+        return jnp.mean(s) if self.reduction == "mean" else s
+
+    forward = __call__
+
+
+# ---------------------------------------------------------------------------
+# Aggregate / pairwise metrics (streaming from arrays or files)
+# ---------------------------------------------------------------------------
+
+
+def _load_file(path):
+    if path.endswith(".npy"):
+        return jnp.asarray(np.load(path))
+    if path.endswith(".nii") or path.endswith(".nii.gz"):
+        from keymorph_tpu.data.nifti import load_nifti
+
+        return jnp.asarray(load_nifti(path).data)
+    raise ValueError(f"File format not supported: {path}")
+
+
+class MultipleAvgSegPairwiseMetric:
+    """All-pairs averages of several seg metrics in one streaming pass
+    (reference loss_ops.py:499-527)."""
+
+    def __init__(self):
+        self.name2fn = {
+            "dice": fast_dice,
+            "harddice": DiceLoss(hard=True).forward,
+            "harddiceroi": DiceLoss(hard=True, return_regions=True).forward,
+            "softdice": DiceLoss().forward,
+            "hausd": hausdorff_distance,
+        }
+
+    def __call__(self, batch_of_imgs, fn_names) -> Dict[str, float]:
+        res = {name: 0.0 for name in fn_names}
+        num = 0
+        for i in range(len(batch_of_imgs)):
+            for j in range(i + 1, len(batch_of_imgs)):
+                if isinstance(batch_of_imgs[0], str):
+                    img1 = _load_file(batch_of_imgs[i])
+                    img2 = _load_file(batch_of_imgs[j])
+                else:
+                    img1 = batch_of_imgs[i : i + 1]
+                    img2 = batch_of_imgs[j : j + 1]
+                for name in fn_names:
+                    res[name] = res[name] + self.name2fn[name](img1, img2)
+                num += 1
+        return {name: res[name] / num for name in fn_names}
+
+    forward = __call__
+
+
+class MultipleAvgGridMetric:
+    """Average grid metrics over a batch of sampling grids
+    (reference loss_ops.py:530-551)."""
+
+    def __init__(self):
+        self.name2fn = {"jdstd": jdstd, "jdlessthan0": jdlessthan0}
+
+    def __call__(self, batch_of_grids, fn_names) -> Dict[str, float]:
+        res = {name: 0.0 for name in fn_names}
+        for i in range(len(batch_of_grids)):
+            if isinstance(batch_of_grids[i], str):
+                grid = _load_file(batch_of_grids[i])
+            else:
+                grid = batch_of_grids[i : i + 1]
+            grid = jnp.moveaxis(jnp.asarray(grid), -1, 1)
+            for name in fn_names:
+                res[name] = res[name] + self.name2fn[name](grid)
+        return {name: res[name] / len(batch_of_grids) for name in fn_names}
+
+    forward = __call__
+
+
+def _make_avg_pairwise(metric_fn):
+    class _AvgPairwise:
+        def __call__(self, batch_of_imgs):
+            loss = 0.0
+            num = 0
+            for i in range(len(batch_of_imgs)):
+                for j in range(i + 1, len(batch_of_imgs)):
+                    if isinstance(batch_of_imgs[0], str):
+                        img1 = _load_file(batch_of_imgs[i])
+                        img2 = _load_file(batch_of_imgs[j])
+                    else:
+                        img1 = batch_of_imgs[i : i + 1]
+                        img2 = batch_of_imgs[j : j + 1]
+                    loss = loss + metric_fn(img1, img2)
+                    num += 1
+            return loss / num
+
+        forward = __call__
+
+    return _AvgPairwise
+
+
+MSEPairwiseLoss = _make_avg_pairwise(MSELoss().forward)
+SoftDicePairwiseLoss = _make_avg_pairwise(DiceLoss().forward)
+HardDicePairwiseLoss = _make_avg_pairwise(DiceLoss(hard=True).forward)
+HausdorffPairwiseLoss = _make_avg_pairwise(hausdorff_distance)
