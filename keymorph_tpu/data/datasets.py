@@ -189,6 +189,8 @@ class KeyMorphDataset:
             pairs = []
             for mod in list_of_mods:
                 mod1, mod2 = parse_test_mod(mod)
+                if mod1 not in subjects or mod2 not in subjects:
+                    continue  # dataset doesn't carry this modality
                 pairs.extend(zip(subjects[mod1], subjects[mod2]))
         else:
             pairs = list(zip(subjects[0], subjects[1]))

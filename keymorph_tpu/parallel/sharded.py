@@ -1,0 +1,196 @@
+"""Sharded (multi-chip) training / registration / groupwise steps.
+
+Strategy (SURVEY §2.5):
+  * DP — batch (or pair/subject fan-out) sharded over mesh axis 'data';
+    XLA inserts the gradient all-reduce over ICI.
+  * SP analog — the dense flow grid + warp are sharded along the leading
+    spatial axis over mesh axis 'space'; keypoints/theta (tiny) stay
+    replicated, so the TPS grid evaluation is embarrassingly parallel and
+    the only collective is the output gather XLA chooses to insert.
+  * Groupwise — subjects sharded over 'data'; the mean-keypoint step
+    (model.py:344's torch.mean) becomes a cross-chip mean that XLA lowers
+    to an all-reduce.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from keymorph_tpu import augment
+from keymorph_tpu.losses import mse_loss, soft_dice_loss
+from keymorph_tpu.models.keymorph import (
+    KeyMorphNet,
+    align_pair,
+    parse_transform_type,
+    sample_tps_lmbda,
+    subsample_keypoints,
+)
+from keymorph_tpu.ops.resample import align_img
+from keymorph_tpu.training.config import Config
+from keymorph_tpu.training.train import TrainState, make_optimizer
+
+
+def _grid_spec(mesh: Mesh, ndim: int):
+    """Shard a (B, D, H, W, 3) grid: batch over 'data', first spatial axis
+    over 'space'."""
+    extra = [None] * (ndim - 2)
+    return NamedSharding(mesh, P("data", "space", *extra))
+
+
+def make_sharded_train_step(net: KeyMorphNet, config: Config, mesh: Mesh, tx=None):
+    """Jitted multi-chip train step: batch DP + spatially-sharded warp."""
+    tx = tx or make_optimizer(config)
+    align_type, lmbda_spec = parse_transform_type(config.transform_type)
+    use_dice = config.loss_fn == "dice"
+    max_params = tuple(config.max_random_affine_augment_params)
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, key, img_f, img_m, seg_f, seg_m, aug_scale):
+        k_aug, k_lmbda, k_sub = jax.random.split(key, 3)
+        if any(p > 0 for p in max_params):
+            if use_dice:
+                img_m, seg_m = augment.random_affine_augment(
+                    k_aug, img_m, seg=seg_m,
+                    max_random_params=max_params, scale_params=aug_scale,
+                )
+            else:
+                img_m = augment.random_affine_augment(
+                    k_aug, img_m, max_random_params=max_params, scale_params=aug_scale
+                )
+
+        points_f, points_m, weights = net.apply(params, img_f, img_m)
+
+        lmbda = None
+        if align_type == "tps":
+            lmbda = sample_tps_lmbda(
+                k_lmbda, img_f.shape[0], lmbda_spec, config.max_train_tps_lmbda
+            )
+            if (
+                config.max_train_keypoints
+                and config.num_keypoints > config.max_train_keypoints
+            ):
+                points_f, points_m, weights = subsample_keypoints(
+                    k_sub, points_f, points_m, weights, config.max_train_keypoints
+                )
+
+        grid = align_pair(
+            points_f, points_m, align_type, img_f.shape[2:],
+            lmbda=lmbda, weights=weights, compute_grid=True,
+        )["grid"]
+        # SP: spread the dense grid (and thus the warp gather) across 'space'
+        grid = jax.lax.with_sharding_constraint(grid, _grid_spec(mesh, grid.ndim))
+
+        if use_dice:
+            seg_a = align_img(grid, seg_m)
+            loss = soft_dice_loss(seg_a, seg_f)
+        else:
+            img_a = align_img(grid, img_m)
+            loss = mse_loss(img_f, img_a)
+        return loss, {"loss": loss}
+
+    @jax.jit
+    def step(state: TrainState, key, img_f, img_m, seg_f, seg_m, aug_scale):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, key, img_f, img_m, seg_f, seg_m, aug_scale
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    def step_with_sharding(state, key, img_f, img_m, seg_f, seg_m, aug_scale):
+        img_f = jax.device_put(img_f, batch_sh)
+        img_m = jax.device_put(img_m, batch_sh)
+        if use_dice:
+            seg_f = jax.device_put(seg_f, batch_sh)
+            seg_m = jax.device_put(seg_m, batch_sh)
+        state = jax.device_put(state, repl)
+        return step(state, key, img_f, img_m, seg_f, seg_m, aug_scale)
+
+    return step_with_sharding
+
+
+def make_sharded_register_fn(net: KeyMorphNet, config: Config, mesh: Mesh,
+                             transform_type: Optional[str] = None):
+    """Batched pairwise registration with pairs sharded over 'data' — the
+    eval fan-out DP axis (SURVEY §2.5). Returns fn(params, img_f, img_m)
+    -> (grid, points_f, points_m)."""
+    align_type, lmbda_spec = parse_transform_type(
+        transform_type or config.transform_type
+    )
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def register(params, img_f, img_m):
+        points_f, points_m, weights = net.apply(params, img_f, img_m)
+        lmbda = (
+            jnp.full((img_f.shape[0],), float(lmbda_spec))
+            if align_type == "tps"
+            else None
+        )
+        out = align_pair(
+            points_f, points_m, align_type, img_f.shape[2:],
+            lmbda=lmbda, weights=weights, compute_grid=True,
+        )
+        grid = jax.lax.with_sharding_constraint(
+            out["grid"], _grid_spec(mesh, out["grid"].ndim)
+        )
+        return grid, points_f, points_m
+
+    def fn(params, img_f, img_m):
+        return register(
+            params,
+            jax.device_put(img_f, batch_sh),
+            jax.device_put(img_m, batch_sh),
+        )
+
+    return fn
+
+
+def make_sharded_groupwise_fn(net: KeyMorphNet, config: Config, mesh: Mesh,
+                              transform_type: str = "affine", num_iters: int = 5):
+    """Groupwise mean-keypoint iteration with subjects sharded over 'data'.
+
+    The per-iteration mean over the (sharded) subject axis is the cross-chip
+    collective (reference model.py:344's torch.mean -> psum/bcast via XLA).
+    Returns fn(params, imgs (N,1,*S)) -> (group_points, aligned_points).
+    """
+    align_type, lmbda_spec = parse_transform_type(transform_type)
+    subj_sh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def run(params, imgs):
+        points = net.apply(
+            params, imgs, method=KeyMorphNet.get_keypoints
+        )  # (N, K, d), subject-sharded
+        lmbda = (
+            jnp.full((imgs.shape[0],), float(lmbda_spec))
+            if align_type == "tps"
+            else None
+        )
+
+        def body(curr, _):
+            mean_points = jnp.mean(curr, axis=0, keepdims=True)  # cross-chip
+            mean_b = jnp.broadcast_to(mean_points, curr.shape)
+            aligned = align_pair(
+                mean_b, curr, align_type, (),
+                lmbda=lmbda, compute_grid=False, compute_aligned_points=True,
+            )["points_a"]
+            return aligned, None
+
+        aligned, _ = jax.lax.scan(body, points, None, length=num_iters)
+        return points, aligned
+
+    def fn(params, imgs):
+        return run(params, jax.device_put(imgs, subj_sh))
+
+    return fn

@@ -1,0 +1,89 @@
+"""Self-supervised pretraining: regress predicted keypoints to affinely
+augmented reference keypoints (reference scripts/pretrain.py:18-97,
+run.py:510-602 — with the broken brainmorph import fixed, SURVEY defects).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keymorph_tpu import augment
+from keymorph_tpu.losses import mse_loss
+from keymorph_tpu.models.keymorph import KeyMorphNet
+from keymorph_tpu.training.config import Config
+from keymorph_tpu.training.train import TrainState, aggregate_dicts, make_optimizer
+
+
+def make_pretrain_step(net: KeyMorphNet, config: Config, tx=None):
+    """Jitted pretrain step.
+
+    Augments the reference image AND its reference keypoints with the same
+    random affine, then MSE(predicted keypoints of augmented image,
+    augmented keypoints) — pretrain.py:47-86. Trains backbone+CoM only.
+    """
+    tx = tx or make_optimizer(config)
+    max_params = (0.2, 0.2, 3.1416, 0.1)  # pretrain.py:52 defaults
+
+    def loss_fn(params, key, img, ref_points, aug_scale):
+        img_a, tgt_points = augment.random_affine_augment(
+            key, img, points=ref_points,
+            max_random_params=max_params, scale_params=aug_scale,
+        )
+        pred_points = net.apply(params, img_a, method=KeyMorphNet.get_keypoints)
+        loss = mse_loss(tgt_points, pred_points)
+        return loss, {"mse": loss, "loss": loss}
+
+    @jax.jit
+    def step(state: TrainState, key, img, ref_points, aug_scale):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, key, img, ref_points, aug_scale
+        )
+        import optax
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return step
+
+
+def pick_reference_subject(loader, config: Config, seed: int = 0):
+    """Choose the pretraining reference subject + sample its keypoints once
+    (reference run.py:522-550). Returns (img (1,1,*S), points (1,K,dim))."""
+    from keymorph_tpu.utils import sample_valid_coordinates
+
+    batch = next(iter(loader))
+    img = np.asarray(batch["img"], np.float32)[:1]
+    pts = sample_valid_coordinates(
+        img, config.num_keypoints, config.dim, seed=seed
+    )  # in [0, 1], xy order
+    pts = pts * 2.0 - 1.0  # match CoM's normalized range
+    pts = jnp.flip(pts, axis=-1)  # xy -> ij, the pipeline convention
+    return jnp.asarray(img), pts
+
+
+def run_pretrain(img, ref_points, state, step_fn, config: Config, epoch: int, rng_key):
+    """One pretraining epoch (reference pretrain.py:18-97)."""
+    if config.affine_slope >= 1:
+        aug_scale = min(epoch / config.affine_slope, 1.0)
+    else:
+        aug_scale = 1.0
+    steps = config.steps_per_epoch if not config.debug_mode else 3
+    metrics_list = []
+    start = time.time()
+    for _ in range(steps):
+        rng_key, sub = jax.random.split(rng_key)
+        state, metrics = step_fn(state, sub, img, ref_points, jnp.float32(aug_scale))
+        metrics_list.append(metrics)
+    jax.block_until_ready(state.params)
+    stats = aggregate_dicts(metrics_list)
+    stats["epoch_time"] = time.time() - start
+    return state, stats, rng_key

@@ -1,0 +1,191 @@
+"""Training: one fully-jitted step (augment -> extract -> fit -> warp -> loss
+-> grad -> update) and the epoch loop.
+
+The reference's per-step host work (train.py:16-220 — TorchIO loading aside)
+all happens on-device here: augmentation matrices, flow fields, warping, and
+the closed-form solve are part of one XLA program, so a step is a single
+device dispatch. Parity anchors: scripts/train.py (loss selection, affine
+ramp, TPS subsampling, aug-matrix composition into the moving affine).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from keymorph_tpu import augment
+from keymorph_tpu.losses import mse_loss, soft_dice_loss
+from keymorph_tpu.models.keymorph import (
+    KeyMorphNet,
+    align_pair,
+    parse_transform_type,
+    sample_tps_lmbda,
+    subsample_keypoints,
+)
+from keymorph_tpu.ops.resample import align_img
+from keymorph_tpu.training.config import Config
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_optimizer(config: Config):
+    """Adam(lr=3e-6) (reference run.py:439)."""
+    return optax.adam(config.lr)
+
+
+def make_train_step(net: KeyMorphNet, config: Config, tx=None):
+    """Build the jitted training step for `config.transform_type`.
+
+    Returned signature:
+        step(state, key, img_f, img_m, seg_f, seg_m, aug_scale)
+            -> (state, metrics_dict)
+    seg_f/seg_m may be None (MSE mode) — bind with functools.partial or pass
+    explicitly; aug_scale implements the affine_slope ramp
+    (reference train.py:80-98).
+    """
+    tx = tx or make_optimizer(config)
+    align_type, lmbda_spec = parse_transform_type(config.transform_type)
+    use_dice = config.loss_fn == "dice"
+    max_params = tuple(config.max_random_affine_augment_params)
+
+    def loss_fn(params, key, img_f, img_m, seg_f, seg_m, aug_scale):
+        k_aug, k_lmbda, k_sub = jax.random.split(key, 3)
+
+        # on-device affine augmentation of the moving image (+seg)
+        if any(p > 0 for p in max_params):
+            if use_dice:
+                img_m, seg_m = augment.random_affine_augment(
+                    k_aug, img_m, seg=seg_m,
+                    max_random_params=max_params, scale_params=aug_scale,
+                )
+            else:
+                img_m = augment.random_affine_augment(
+                    k_aug, img_m,
+                    max_random_params=max_params, scale_params=aug_scale,
+                )
+
+        points_f, points_m, weights = net.apply(params, img_f, img_m)
+
+        lmbda = None
+        if align_type == "tps":
+            lmbda = sample_tps_lmbda(
+                k_lmbda, img_f.shape[0], lmbda_spec, config.max_train_tps_lmbda
+            )
+            if (
+                config.max_train_keypoints
+                and config.num_keypoints > config.max_train_keypoints
+            ):
+                points_f, points_m, weights = subsample_keypoints(
+                    k_sub, points_f, points_m, weights, config.max_train_keypoints
+                )
+
+        aligned = align_pair(
+            points_f,
+            points_m,
+            align_type,
+            img_f.shape[2:],
+            lmbda=lmbda,
+            weights=weights,
+            num_chunks=1,  # no subgrid chunking during training (model.py:265-268)
+            compute_grid=True,
+        )
+        grid = aligned["grid"]
+
+        if use_dice:
+            seg_a = align_img(grid, seg_m)
+            loss = soft_dice_loss(seg_a, seg_f)
+            metrics = {"softdiceloss": loss, "softdice": 1.0 - loss}
+        else:
+            img_a = align_img(grid, img_m)
+            loss = mse_loss(img_f, img_a)
+            metrics = {"mse": loss}
+        metrics["loss"] = loss
+        return loss, metrics
+
+    @jax.jit
+    def step(state: TrainState, key, img_f, img_m, seg_f, seg_m, aug_scale):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, key, img_f, img_m, seg_f, seg_m, aug_scale
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return step
+
+
+def aggregate_dicts(dicts):
+    """Mean-reduce a list of metric dicts (reference script_utils.py:42-47)."""
+    keys = dicts[0].keys()
+    return {k: float(np.mean([float(d[k]) for d in dicts])) for k in keys}
+
+
+def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key):
+    """One training epoch (reference train.py:16-220 / run.py:615-631).
+
+    Walks `steps_per_epoch` batches from the (re-cycling) loader; applies the
+    affine-slope ramp; returns (state, epoch_stats).
+    """
+    if config.affine_slope >= 1:
+        aug_scale = min(epoch / config.affine_slope, 1.0)
+    else:
+        aug_scale = 1.0
+
+    metrics_list = []
+    steps = config.steps_per_epoch if not config.debug_mode else 3
+    it = iter(loader)
+    start = time.time()
+    for _ in range(steps):
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            batch = next(it)
+        b_f, b_m = batch
+        img_f = jnp.asarray(b_f["img"], jnp.float32)
+        img_m = jnp.asarray(b_m["img"], jnp.float32)
+        if config.loss_fn == "dice":
+            from keymorph_tpu.utils import one_hot_subsampled_pair, one_hot
+
+            if config.max_train_seg_channels:
+                seg_f, seg_m = one_hot_subsampled_pair(
+                    b_f["seg"], b_m["seg"], config.max_train_seg_channels
+                )
+            else:
+                n_cls = int(max(b_f["seg"].max(), b_m["seg"].max())) + 1
+                seg_f = one_hot(jnp.asarray(b_f["seg"], jnp.int32), n_cls)
+                seg_m = one_hot(jnp.asarray(b_m["seg"], jnp.int32), n_cls)
+        else:
+            # placeholder tensors keep the jitted signature stable
+            seg_f = seg_m = jnp.zeros((1,), jnp.float32)
+
+        rng_key, sub = jax.random.split(rng_key)
+        state, metrics = step_fn(
+            state, sub, img_f, img_m, seg_f, seg_m, jnp.float32(aug_scale)
+        )
+        metrics_list.append(metrics)
+    jax.block_until_ready(state.params)
+    stats = aggregate_dicts(metrics_list)
+    stats["epoch_time"] = time.time() - start
+    stats["steps_per_sec"] = steps / stats["epoch_time"]
+    return state, stats, rng_key
