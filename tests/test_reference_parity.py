@@ -1,0 +1,219 @@
+"""Golden parity vs the actual torch reference implementation.
+
+BASELINE.md: "run the torch reference on the CPU-runnable half-res config to
+produce golden keypoints, transform matrices, grids, and Dice/MSE values for
+parity tests". The reference package at /root/reference is imported directly
+(core modules are torch-only) and used as the oracle; skipped when absent.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+REF_PATH = "/root/reference"
+
+
+def _ref_modules():
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    # the reference package imports nibabel/skimage at package init; neither
+    # is installed here and neither is exercised by these oracles — stub them
+    import types
+
+    for name in ("nibabel", "skimage", "skimage.morphology"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if not hasattr(sys.modules["skimage"], "morphology"):
+        sys.modules["skimage"].morphology = sys.modules["skimage.morphology"]
+    try:
+        import keymorph.keypoint_aligners as ref_ka
+        import keymorph.layers as ref_layers
+        import keymorph.transformations as ref_tf
+        import keymorph.utils as ref_utils
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+    return ref_ka, ref_layers, ref_tf, ref_utils
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return _ref_modules()
+
+
+def test_com3d_parity(ref, rng):
+    import torch
+
+    _, ref_layers, _, _ = ref
+    vol = rng.normal(size=(2, 4, 7, 9, 11)).astype(np.float32)
+    theirs = ref_layers.CenterOfMass3d(indexing="ij")(torch.from_numpy(vol)).numpy()
+    from keymorph_tpu.models.layers import center_of_mass
+
+    ours = np.asarray(center_of_mass(jnp.moveaxis(jnp.asarray(vol), 1, -1), "ij"))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_com2d_parity(ref, rng):
+    import torch
+
+    _, ref_layers, _, _ = ref
+    img = rng.normal(size=(3, 5, 13, 17)).astype(np.float32)
+    theirs = ref_layers.CenterOfMass2d(indexing="xy")(torch.from_numpy(img)).numpy()
+    from keymorph_tpu.models.layers import center_of_mass
+
+    ours = np.asarray(center_of_mass(jnp.moveaxis(jnp.asarray(img), 1, -1), "xy"))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_affine_aligner_parity(ref, rng):
+    import torch
+
+    ref_ka, _, _, _ = ref
+    p_m = rng.uniform(-0.7, 0.7, size=(1, 20, 3)).astype(np.float32)
+    p_f = (p_m @ (np.eye(3) + 0.1 * rng.normal(size=(3, 3))).T + 0.05).astype(
+        np.float32
+    )
+    theirs = ref_ka.AffineKeypointAligner(
+        points_m=torch.from_numpy(p_m), points_f=torch.from_numpy(p_f)
+    )
+    from keymorph_tpu.transforms.aligners import AffineKeypointAligner
+
+    ours = AffineKeypointAligner(points_m=jnp.asarray(p_m), points_f=jnp.asarray(p_f))
+    np.testing.assert_allclose(
+        np.asarray(ours.transform_matrix),
+        theirs.transform_matrix.numpy(),
+        atol=2e-4,
+    )
+    # dense flow field over a (1,1,6,7,8) fixed shape
+    theirs_grid = theirs.get_flow_field((1, 1, 6, 7, 8)).numpy()
+    ours_grid = np.asarray(ours.get_flow_field((1, 1, 6, 7, 8)))
+    np.testing.assert_allclose(ours_grid, theirs_grid, atol=2e-4)
+
+
+def test_rigid_aligner_parity(ref, rng):
+    import torch
+
+    ref_ka, _, _, _ = ref
+
+    def rot(ax, ay, az):
+        from scipy.spatial.transform import Rotation
+
+        return Rotation.from_euler("xyz", [ax, ay, az]).as_matrix()
+
+    R = rot(0.2, -0.1, 0.4).astype(np.float32)
+    p_m = rng.uniform(-0.7, 0.7, size=(1, 24, 3)).astype(np.float32)
+    p_f = (p_m @ R.T + np.array([0.05, -0.1, 0.02], np.float32)).astype(np.float32)
+    theirs = ref_ka.RigidKeypointAligner(
+        points_m=torch.from_numpy(p_m), points_f=torch.from_numpy(p_f)
+    )
+    from keymorph_tpu.transforms.aligners import RigidKeypointAligner
+
+    ours = RigidKeypointAligner(points_m=jnp.asarray(p_m), points_f=jnp.asarray(p_f))
+    np.testing.assert_allclose(
+        np.asarray(ours.transform_matrix), theirs.transform_matrix.numpy(), atol=2e-4
+    )
+
+
+def test_tps_aligner_parity(ref, rng):
+    import torch
+
+    ref_ka, _, _, _ = ref
+    p_m = rng.uniform(-0.7, 0.7, size=(1, 12, 3)).astype(np.float32)
+    p_f = (p_m + 0.08 * rng.normal(size=(1, 12, 3))).astype(np.float32)
+    lmbda = np.array([0.5], np.float32)
+    theirs = ref_ka.TPS(
+        points_m=torch.from_numpy(p_m),
+        points_f=torch.from_numpy(p_f),
+        lmbda=torch.from_numpy(lmbda),
+    )
+    from keymorph_tpu.transforms.aligners import TPS
+
+    ours = TPS(points_m=jnp.asarray(p_m), points_f=jnp.asarray(p_f), lmbda=jnp.asarray(lmbda))
+    np.testing.assert_allclose(
+        np.asarray(ours.inverse_theta),
+        theirs.inverse_theta.numpy(),
+        atol=5e-3,
+    )
+    theirs_grid = theirs.get_flow_field((1, 1, 5, 6, 7)).numpy()
+    ours_grid = np.asarray(ours.get_flow_field((1, 1, 5, 6, 7)))
+    np.testing.assert_allclose(ours_grid, theirs_grid, atol=1e-3)
+    # forward point transport
+    q = rng.uniform(-1, 1, size=(1, 9, 3)).astype(np.float32)
+    theirs_pts = theirs.get_forward_transformed_points(torch.from_numpy(q)).numpy()
+    ours_pts = np.asarray(ours.get_forward_transformed_points(jnp.asarray(q)))
+    np.testing.assert_allclose(ours_pts, theirs_pts, atol=1e-3)
+
+
+def test_affine_transform_flow_parity(ref, rng):
+    import torch
+
+    _, _, ref_tf, _ = ref
+    M = np.eye(4, dtype=np.float32)
+    M[:3, :3] += 0.1 * rng.normal(size=(3, 3)).astype(np.float32)
+    M[:3, 3] = 0.1 * rng.normal(size=3).astype(np.float32)
+    theirs = ref_tf.AffineTransform(matrix=torch.from_numpy(M[None]))
+    from keymorph_tpu.transforms.affine import AffineTransform
+
+    ours = AffineTransform(matrix=jnp.asarray(M[None]))
+    tg = theirs.get_flow_field((1, 1, 5, 6, 7)).numpy()
+    og = np.asarray(ours.get_flow_field((1, 1, 5, 6, 7)))
+    np.testing.assert_allclose(og, tg, atol=1e-5)
+    pts = rng.uniform(-1, 1, size=(1, 11, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ours.get_forward_transformed_points(jnp.asarray(pts))),
+        theirs.get_forward_transformed_points(torch.from_numpy(pts)).numpy(),
+        atol=1e-5,
+    )
+
+
+def test_coordinate_conversion_parity(ref, rng):
+    import torch
+
+    _, _, _, ref_utils = ref
+    pts = rng.uniform(-1, 1, size=(1, 30, 3)).astype(np.float32)
+    sizes = (12, 14, 16)
+    aff = np.eye(4, dtype=np.float32)
+    aff[:3, :3] = np.diag([1.25, 1.25, 10.0])
+    aff[:3, 3] = [-80, -100, 50]
+
+    theirs = ref_utils.convert_points_norm2real(
+        torch.from_numpy(pts),
+        torch.from_numpy(aff[None]),
+        torch.tensor(sizes),
+    ).numpy()
+    from keymorph_tpu.ops import coords as C
+
+    ours = np.asarray(
+        C.convert_points_norm2real(jnp.asarray(pts), jnp.asarray(aff[None]), sizes)
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-3)
+
+
+def test_end_to_end_registration_parity(ref, rng):
+    """Full closed-form pipeline on the same synthetic keypoints: the warped
+    image produced by reference grid + torch grid_sample must match ours."""
+    import torch
+    import torch.nn.functional as F
+
+    ref_ka, _, _, _ = ref
+    p_m = rng.uniform(-0.6, 0.6, size=(1, 16, 3)).astype(np.float32)
+    p_f = (p_m @ (np.eye(3) + 0.05 * rng.normal(size=(3, 3))).T).astype(np.float32)
+    img_m = rng.normal(size=(1, 1, 10, 11, 12)).astype(np.float32)
+
+    theirs = ref_ka.AffineKeypointAligner(
+        points_m=torch.from_numpy(p_m), points_f=torch.from_numpy(p_f)
+    )
+    tg = theirs.get_flow_field((1, 1, 10, 11, 12))
+    t_warp = F.grid_sample(
+        torch.from_numpy(img_m), tg, mode="bilinear",
+        padding_mode="border", align_corners=False,
+    ).numpy()
+
+    from keymorph_tpu.transforms.aligners import AffineKeypointAligner
+    from keymorph_tpu.ops.resample import align_img
+
+    ours = AffineKeypointAligner(points_m=jnp.asarray(p_m), points_f=jnp.asarray(p_f))
+    og = ours.get_flow_field((1, 1, 10, 11, 12))
+    o_warp = np.asarray(align_img(og, jnp.asarray(img_m)))
+    np.testing.assert_allclose(o_warp, t_warp, atol=1e-3)
