@@ -1,0 +1,191 @@
+"""Visualization tools (matplotlib): registration triptychs, 3-view 3D
+plots with keypoint overlays, groupwise montages.
+
+API parity with reference keymorph/viz_tools.py (imshow_registration_2d/3d
+:25-109/:343-453, imshow_img_and_points_3d :159-340,
+plot_groupwise_register :456-467); plots are re-designed, not cloned.
+All functions accept numpy arrays or jax arrays; keypoints are `ij`-indexed
+in [-1, 1] as everywhere in the framework.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _np(x):
+    return None if x is None else np.asarray(x)
+
+
+def _points_to_pixels(points, shape):
+    """[-1,1] ij points -> pixel coordinates for the given 2D shape."""
+    pts = (np.asarray(points) + 1.0) / 2.0
+    return pts * (np.asarray(shape) - 1.0)
+
+
+def imshow_registration_2d(
+    img_m,
+    img_f,
+    img_a,
+    points_m=None,
+    points_f=None,
+    points_a=None,
+    weights=None,
+    save_path: Optional[str] = None,
+):
+    """Moving / fixed / aligned triptych with keypoint overlays."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img_m, img_f, img_a = _np(img_m), _np(img_f), _np(img_a)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    titles = ("Moving", "Fixed", "Aligned")
+    imgs = (img_m, img_f, img_a)
+    pts = (_np(points_m), _np(points_f), _np(points_a))
+    w = _np(weights)
+    for ax, im, p, title in zip(axes, imgs, pts, titles):
+        ax.imshow(im, cmap="gray")
+        ax.set_title(title)
+        ax.axis("off")
+        if p is not None:
+            pix = _points_to_pixels(p, im.shape)
+            sizes = 20 if w is None else 5 + 200 * np.ravel(w) / np.max(w)
+            # ij -> (row, col); scatter wants (x=col, y=row)
+            ax.scatter(pix[:, 1], pix[:, 0], s=sizes, c=np.arange(len(pix)), cmap="jet")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def _three_views(vol, projection: bool):
+    """Three orthogonal views of a 3D volume: projection (mean) or center
+    slice along each axis."""
+    vol = np.asarray(vol)
+    if projection:
+        return [vol.mean(axis=k) for k in range(3)]
+    c = [s // 2 for s in vol.shape]
+    return [vol[c[0]], vol[:, c[1]], vol[:, :, c[2]]]
+
+
+def imshow_img_and_points_3d(
+    img=None,
+    points=None,
+    weights=None,
+    projection: bool = True,
+    save_path: Optional[str] = None,
+):
+    """3-orthogonal-view plot of a volume with depth-colored keypoints
+    (reference viz_tools.py:159-340)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = _np(img)
+    pts = _np(points)
+    w = _np(weights)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    views = _three_views(img, projection) if img is not None else [None] * 3
+    # view k drops axis k; remaining axes are (rows, cols)
+    axis_pairs = [(1, 2), (0, 2), (0, 1)]
+    for k, (ax, view) in enumerate(zip(axes, views)):
+        if view is not None:
+            ax.imshow(view, cmap="gray")
+        ax.set_title(f"view {k}")
+        ax.axis("off")
+        if pts is not None:
+            r_ax, c_ax = axis_pairs[k]
+            shape2d = (
+                view.shape if view is not None else (img.shape[r_ax], img.shape[c_ax])
+            )
+            pix = (pts + 1.0) / 2.0 * (np.asarray(img.shape) - 1.0)
+            depth = pts[:, k]
+            sizes = 20 if w is None else 5 + 200 * np.ravel(w) / np.max(w)
+            ax.scatter(pix[:, c_ax], pix[:, r_ax], s=sizes, c=depth, cmap="jet", alpha=0.8)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def imshow_registration_3d(
+    img_m,
+    img_f,
+    img_a,
+    points_m=None,
+    points_f=None,
+    points_a=None,
+    weights=None,
+    projection: bool = True,
+    save_path: Optional[str] = None,
+):
+    """3x3 panel: rows = moving/fixed/aligned, cols = three orthogonal views,
+    keypoints overlaid (reference viz_tools.py:343-453)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    vols = [_np(img_m), _np(img_f), _np(img_a)]
+    all_pts = [_np(points_m), _np(points_f), _np(points_a)]
+    w = _np(weights)
+    titles = ("Moving", "Fixed", "Aligned")
+    axis_pairs = [(1, 2), (0, 2), (0, 1)]
+    fig, axes = plt.subplots(3, 3, figsize=(12, 12))
+    for r, (vol, pts, title) in enumerate(zip(vols, all_pts, titles)):
+        views = _three_views(vol, projection)
+        for k in range(3):
+            ax = axes[r, k]
+            ax.imshow(views[k], cmap="gray")
+            ax.axis("off")
+            if k == 0:
+                ax.set_ylabel(title)
+            ax.set_title(f"{title} v{k}", fontsize=9)
+            if pts is not None:
+                r_ax, c_ax = axis_pairs[k]
+                pix = (pts + 1.0) / 2.0 * (np.asarray(vol.shape) - 1.0)
+                sizes = 12 if w is None else 5 + 150 * np.ravel(w) / np.max(w)
+                ax.scatter(
+                    pix[:, c_ax], pix[:, r_ax], s=sizes, c=pts[:, k], cmap="jet",
+                    alpha=0.8,
+                )
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_groupwise_register(
+    before_slices: Sequence, after_slices: Sequence, save_path: Optional[str] = None
+):
+    """Two-row montage: group members before/after alignment
+    (reference viz_tools.py:456-467)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(before_slices)
+    fig, axes = plt.subplots(2, n, figsize=(3 * n, 6))
+    if n == 1:
+        axes = axes.reshape(2, 1)
+    for i in range(n):
+        axes[0, i].imshow(_np(before_slices[i]), cmap="gray")
+        axes[0, i].set_title(f"before {i}")
+        axes[1, i].imshow(_np(after_slices[i]), cmap="gray")
+        axes[1, i].set_title(f"after {i}")
+        axes[0, i].axis("off")
+        axes[1, i].axis("off")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
