@@ -144,12 +144,34 @@ def main(argv=None):
     wandb = su.initialize_wandb(config) if config.use_wandb else None
 
     if config.run_mode == "train":
+        from keymorph_tpu.training.train import (
+            make_kpconsistency_step,
+            make_train_step_sameres,
+        )
+
         net = model.net
-        step_fn = make_train_step(net, config, tx)
+        if config.train_same_resolution:
+            step_fn = make_train_step_sameres(net, config, tx)
+        else:
+            step_fn = make_train_step(net, config, tx)
+        kp_step_fn = None
+        modality_datasets = None
+        if config.kpconsistency_coeff > 0:
+            kp_step_fn = make_kpconsistency_step(net, config, tx)
+            from keymorph_tpu.data import Preprocessor
+            from keymorph_tpu.data.datasets import SingleDataset
+
+            subs = dataset.get_subjects(train=True)
+            if isinstance(subs, dict):
+                transform = Preprocessor(size=tuple(config.img_size))
+                modality_datasets = {
+                    mod: SingleDataset(lst, transform) for mod, lst in subs.items()
+                }
         epochs = config.epochs if not config.debug_mode else 2
         for epoch in range(start_epoch, epochs + 1):
             state, stats, rng_key = run_train(
-                train_loader, state, step_fn, config, epoch, rng_key
+                train_loader, state, step_fn, config, epoch, rng_key,
+                kp_step_fn=kp_step_fn, modality_datasets=modality_datasets,
             )
             print(f"Epoch {epoch}/{epochs}:", stats)
             if wandb:
@@ -203,16 +225,26 @@ def main(argv=None):
             hp.EVAL_KP_ALIGNS if not config.debug_mode else ["affine"]
         )
         metrics = hp.EVAL_METRICS if config_seg_available else ["mse", "jdstd", "jdlessthan0"]
-        uni = run_eval(
-            test_loader, model, metrics, hp.EVAL_UNI_NAMES,
-            hp.EVAL_AUGS if not config.debug_mode else ["rot0"], aligns, ea,
-        )
-        su.save_dict_as_json(
-            {k: su.aggregate_dicts([{"v": x} for x in v])["v"] if v else None
-             for k, v in uni.items()},
-            eval_dir / "summary_unimodal.json",
-        )
-        print("Eval summary written to", eval_dir / "summary_unimodal.json")
+        augs = hp.EVAL_AUGS if not config.debug_mode else ["rot0"]
+
+        def _summarize(raw):
+            return {
+                k: (float(np.mean([np.mean(x) for x in v])) if v else None)
+                for k, v in raw.items()
+            }
+
+        # unimodal + multimodal suites (reference run.py:458-508)
+        for suite, names in (
+            ("unimodal", hp.EVAL_UNI_NAMES),
+            ("multimodal", hp.EVAL_MULTI_NAMES),
+        ):
+            raw = run_eval(
+                test_loader, model, metrics, names, augs, aligns, ea,
+                save_dir_prefix=f"eval_{suite}",
+            )
+            out_path = eval_dir / f"summary_{suite}.json"
+            su.save_dict_as_json(_summarize(raw), out_path)
+            print("Eval summary written to", out_path)
     else:
         raise ValueError(f"Unknown run_mode {config.run_mode}")
 

@@ -134,17 +134,142 @@ def make_train_step(net: KeyMorphNet, config: Config, tx=None):
     return step
 
 
+def make_kpconsistency_step(net: KeyMorphNet, config: Config, tx=None):
+    """Keypoint-consistency step: two modalities of the SAME subject get the
+    SAME random affine; their keypoints should coincide.
+
+    The reference stubs this out (train.py:179-198 commented; flag
+    kpconsistency_coeff at run.py:96-101); here it's a working jitted step:
+        loss = coeff * MSE(points(sub1_aug), points(sub2_aug)).
+    """
+    tx = tx or make_optimizer(config)
+    coeff = config.kpconsistency_coeff
+
+    def loss_fn(params, key, sub1, sub2, aug_scale):
+        m1, m2 = augment.random_affine_augment_pair(
+            key, sub1, sub2, scale_params=aug_scale
+        )
+        p1 = net.apply(params, m1, method=KeyMorphNet.get_keypoints)
+        p2 = net.apply(params, m2, method=KeyMorphNet.get_keypoints)
+        loss = coeff * mse_loss(p1, p2)
+        return loss, {"kploss": loss}
+
+    @jax.jit
+    def step(state: TrainState, key, sub1, sub2, aug_scale):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, key, sub1, sub2, aug_scale
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return step
+
+
+def make_train_step_sameres(net: KeyMorphNet, config: Config, tx=None):
+    """Same-resolution training variant (reference run_train_sameres,
+    train.py:316-614): both images are resized to ``config.img_size`` for
+    keypoint extraction, but the flow grid is evaluated at — and the loss
+    computed at — the ORIGINAL fixed resolution.
+
+    The step signature matches make_train_step; img/seg arrive at their
+    original (static per-dataset) resolution.
+    """
+    tx = tx or make_optimizer(config)
+    align_type, lmbda_spec = parse_transform_type(config.transform_type)
+    use_dice = config.loss_fn == "dice"
+    max_params = tuple(config.max_random_affine_augment_params)
+    model_size = tuple(config.img_size)
+
+    def _resize(img, size):
+        B, C = img.shape[:2]
+        return jax.image.resize(img, (B, C, *size), method="trilinear")
+
+    def loss_fn(params, key, img_f, img_m, seg_f, seg_m, aug_scale):
+        k_aug, k_lmbda, k_sub = jax.random.split(key, 3)
+        orig_shape = img_f.shape[2:]
+
+        if any(p > 0 for p in max_params):
+            if use_dice:
+                img_m, seg_m = augment.random_affine_augment(
+                    k_aug, img_m, seg=seg_m,
+                    max_random_params=max_params, scale_params=aug_scale,
+                )
+            else:
+                img_m = augment.random_affine_augment(
+                    k_aug, img_m, max_random_params=max_params, scale_params=aug_scale
+                )
+
+        # keypoints from the common model resolution (CoM is resolution-
+        # agnostic, so points live in the same [-1,1] frame either way)
+        small_f = _resize(img_f, model_size)
+        small_m = _resize(img_m, model_size)
+        points_f, points_m, weights = net.apply(params, small_f, small_m)
+
+        lmbda = None
+        if align_type == "tps":
+            lmbda = sample_tps_lmbda(
+                k_lmbda, img_f.shape[0], lmbda_spec, config.max_train_tps_lmbda
+            )
+            if (
+                config.max_train_keypoints
+                and config.num_keypoints > config.max_train_keypoints
+            ):
+                points_f, points_m, weights = subsample_keypoints(
+                    k_sub, points_f, points_m, weights, config.max_train_keypoints
+                )
+
+        grid = align_pair(
+            points_f, points_m, align_type, orig_shape,
+            lmbda=lmbda, weights=weights, compute_grid=True,
+        )["grid"]
+
+        if use_dice:
+            seg_a = align_img(grid, seg_m)
+            loss = soft_dice_loss(seg_a, seg_f)
+            metrics = {"softdiceloss": loss, "softdice": 1.0 - loss}
+        else:
+            img_a = align_img(grid, img_m)
+            loss = mse_loss(img_f, img_a)
+            metrics = {"mse": loss}
+        metrics["loss"] = loss
+        return loss, metrics
+
+    @jax.jit
+    def step(state: TrainState, key, img_f, img_m, seg_f, seg_m, aug_scale):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, key, img_f, img_m, seg_f, seg_m, aug_scale
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return step
+
+
 def aggregate_dicts(dicts):
     """Mean-reduce a list of metric dicts (reference script_utils.py:42-47)."""
     keys = dicts[0].keys()
     return {k: float(np.mean([float(d[k]) for d in dicts])) for k in keys}
 
 
-def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key):
+def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key,
+              kp_step_fn=None, modality_datasets=None):
     """One training epoch (reference train.py:16-220 / run.py:615-631).
 
     Walks `steps_per_epoch` batches from the (re-cycling) loader; applies the
-    affine-slope ramp; returns (state, epoch_stats).
+    affine-slope ramp; returns (state, epoch_stats). When `kp_step_fn` and
+    `modality_datasets` (dict modality -> indexable dataset of same-ordered
+    subjects) are given and kpconsistency_coeff > 0, each step also runs a
+    keypoint-consistency update on a random same-subject cross-modality pair
+    (the reference's stubbed train.py:179-198 path, made real).
     """
     if config.affine_slope >= 1:
         aug_scale = min(epoch / config.affine_slope, 1.0)
@@ -155,6 +280,18 @@ def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key):
     steps = config.steps_per_epoch if not config.debug_mode else 3
     it = iter(loader)
     start = time.time()
+
+    # device-level tracing (the reference's torch.profiler flag,
+    # train.py:104-127): one epoch of jax.profiler trace on epoch 1
+    profiler_ctx = None
+    if config.use_profiler and epoch == 1:
+        import os as _os
+
+        trace_dir = _os.path.join(config.model_dir, "profile")
+        _os.makedirs(trace_dir, exist_ok=True)
+        jax.profiler.start_trace(trace_dir)
+        profiler_ctx = trace_dir
+
     for _ in range(steps):
         try:
             batch = next(it)
@@ -183,8 +320,27 @@ def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key):
         state, metrics = step_fn(
             state, sub, img_f, img_m, seg_f, seg_m, jnp.float32(aug_scale)
         )
+
+        if (
+            kp_step_fn is not None
+            and modality_datasets
+            and len(modality_datasets) >= 2
+            and config.kpconsistency_coeff > 0
+        ):
+            mods = list(modality_datasets.keys())
+            rng_key, k1, k2 = jax.random.split(rng_key, 3)
+            m1, m2 = np.random.choice(len(mods), size=2, replace=False)
+            ds1, ds2 = modality_datasets[mods[m1]], modality_datasets[mods[m2]]
+            idx = np.random.randint(0, min(len(ds1), len(ds2)))
+            sub1 = jnp.asarray(ds1[idx]["img"], jnp.float32)[None]
+            sub2 = jnp.asarray(ds2[idx]["img"], jnp.float32)[None]
+            state, kp_metrics = kp_step_fn(state, k2, sub1, sub2, jnp.float32(aug_scale))
+            metrics = {**metrics, **kp_metrics}
         metrics_list.append(metrics)
     jax.block_until_ready(state.params)
+    if profiler_ctx is not None:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {profiler_ctx}")
     stats = aggregate_dicts(metrics_list)
     stats["epoch_time"] = time.time() - start
     stats["steps_per_sec"] = steps / stats["epoch_time"]
