@@ -76,6 +76,22 @@ class SingleDataset:
         return self.subjects[i].load(self.transform)
 
 
+class RandomAggregatedDataset:
+    """Aggregate datasets, sampling a random member per access
+    (reference dataset/utils.py:60-71)."""
+
+    def __init__(self, datasets, seed: int = 0):
+        self.datasets = list(datasets)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return sum(len(d) for d in self.datasets)
+
+    def __getitem__(self, i):
+        chosen = self.datasets[self._rng.integers(0, len(self.datasets))]
+        return chosen[i % len(chosen)]
+
+
 class SimpleDatasetIterator:
     """Index-order iterator (reference dataset/utils.py:34-57)."""
 

@@ -356,3 +356,33 @@ MSEPairwiseLoss = _make_avg_pairwise(MSELoss().forward)
 SoftDicePairwiseLoss = _make_avg_pairwise(DiceLoss().forward)
 HardDicePairwiseLoss = _make_avg_pairwise(DiceLoss(hard=True).forward)
 HausdorffPairwiseLoss = _make_avg_pairwise(hausdorff_distance)
+
+
+class _AvgGridMetric:
+    """Average of one grid metric over a batch of sampling grids
+    (reference loss_ops.py:466-497)."""
+
+    def __init__(self, metric_fn):
+        self.metric_fn = metric_fn
+
+    def __call__(self, batch_of_grids):
+        tot = 0.0
+        for i in range(len(batch_of_grids)):
+            if isinstance(batch_of_grids[i], str):
+                grid = _load_file(batch_of_grids[i])
+            else:
+                grid = batch_of_grids[i : i + 1]
+            tot += self.metric_fn(jnp.moveaxis(jnp.asarray(grid), -1, 1))
+        return tot / len(batch_of_grids)
+
+    forward = __call__
+
+
+class AvgJDStd(_AvgGridMetric):
+    def __init__(self):
+        super().__init__(jdstd)
+
+
+class AvgJDLessThan0(_AvgGridMetric):
+    def __init__(self):
+        super().__init__(jdlessthan0)

@@ -89,9 +89,12 @@ def _tps_flow_kernel(ctrl_ref, theta_ref, out_ref, *, spatial, tile):
     )
     out = b + z  # (tile, 3) ij-ordered
 
-    res = jnp.zeros((8, out.shape[0]), jnp.float32)
-    res = res.at[0:3, :].set(out.T)
-    out_ref[:, :] = res
+    # pad 3 -> 8 rows with zeros (scatter is not lowerable on TPU Pallas;
+    # pad+transpose is)
+    padded = jnp.concatenate(
+        [out, jnp.zeros((out.shape[0], 5), jnp.float32)], axis=-1
+    )  # (tile, 8)
+    out_ref[:, :] = padded.T
 
 
 def tps_flow_planes(

@@ -127,6 +127,15 @@ def displacement2flow(displacement_field):
     return coords.astype(displacement_field.dtype) + disp_norm
 
 
+# reference-API aliases (utils.py:24-75)
+def displacement2pytorchflow(displacement_field):
+    return displacement2flow(displacement_field)
+
+
+def pytorchflow2displacement(flow):
+    return flow2displacement(flow)
+
+
 def flow2displacement(flow):
     """[-1, 1] sampling flow -> voxel-unit displacement field.
 

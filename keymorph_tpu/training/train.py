@@ -299,6 +299,15 @@ def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key,
             it = iter(loader)
             batch = next(it)
         b_f, b_m = batch
+        # large-volume skip guard (reference train.py:46-51) — only relevant
+        # for variable-resolution (sameres) data; fixed-size pipelines never
+        # trip it
+        if (
+            np.prod(b_f["img"].shape) >= 77_594_624
+            or np.prod(b_m["img"].shape) >= 77_594_624
+        ):
+            print("Skipping large image")
+            continue
         img_f = jnp.asarray(b_f["img"], jnp.float32)
         img_m = jnp.asarray(b_m["img"], jnp.float32)
         if config.loss_fn == "dice":
