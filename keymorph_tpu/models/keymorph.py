@@ -32,11 +32,6 @@ from flax import linen as nn
 
 from keymorph_tpu.ops import coords as Coords
 from keymorph_tpu.transforms import solvers
-from keymorph_tpu.transforms.aligners import (
-    AffineKeypointAligner,
-    RigidKeypointAligner,
-    TPS,
-)
 from keymorph_tpu.models.layers import center_of_mass, LinearRegressor
 
 RegistrationResult = Dict[str, Dict[str, Any]]
@@ -280,6 +275,7 @@ class KeyMorph:
         self.training = False
         self._extract_jit = None
         self._get_keypoints_jit = None
+        self._align_cache = {}
         self._rng = jax.random.PRNGKey(0)
 
     # -- param management ---------------------------------------------------
@@ -331,6 +327,59 @@ class KeyMorph:
         )
 
     is_supported_transform_type = staticmethod(is_supported_transform_type)
+
+    def _get_align_fn(self, align_type, spatial_f, spatial_m, rw, num_chunks, ret_pts):
+        """Cached jitted alignment program: fit + grid (+ matrix, + points_a)
+        in ONE device dispatch. Replaces the eager aligner-object path for
+        the forward contract; wrappers remain the public aligner API."""
+        key = (align_type, spatial_f, spatial_m, rw, num_chunks, ret_pts)
+        if key in self._align_cache:
+            return self._align_cache[key]
+
+        d = self.dim
+
+        def fn(points_f, points_m, weights, lmbda, aff_f, aff_m):
+            res = {}
+            B = points_f.shape[0]
+            pf, pm = points_f, points_m
+            if rw:
+                pf = Coords.convert_points_norm2real(pf, aff_f, spatial_f)
+                pm = Coords.convert_points_norm2real(pm, aff_m, spatial_m)
+            n = int(np.prod(spatial_f))
+            grid_flat = jnp.broadcast_to(Coords.flat_norm_grid(spatial_f), (B, n, d))
+            q = (
+                Coords.convert_points_norm2real(grid_flat, aff_f, spatial_f)
+                if rw
+                else grid_flat
+            )
+
+            if align_type in ("affine", "rigid"):
+                fit = (
+                    solvers.fit_affine if align_type == "affine" else solvers.fit_rigid
+                )
+                inverse = solvers.square_matrix(fit(pf, pm, weights))
+                res["matrix"] = jnp.linalg.inv(inverse)
+                moved = Coords.apply_matrix(inverse, q)
+                if ret_pts:
+                    pa = Coords.apply_matrix(res["matrix"], pm)
+            else:
+                inv_theta = solvers.fit_tps(pf, pm, lmbda, weights)
+                moved = solvers.tps_eval_chunked(inv_theta, pf, q, num_chunks)
+                if ret_pts:
+                    theta = solvers.fit_tps(pm, pf, lmbda, weights)
+                    pa = solvers.tps_eval(theta, pm, pm)
+            if rw:
+                moved = Coords.convert_points_real2norm(moved, aff_m, spatial_m)
+            res["grid"] = jnp.flip(moved.reshape(B, *spatial_f, d), axis=-1)
+            if ret_pts:
+                if rw:
+                    pa = Coords.convert_points_real2norm(pa, aff_f, spatial_f)
+                res["points_a"] = pa
+            return res
+
+        jitted = jax.jit(fn)
+        self._align_cache[key] = jitted
+        return jitted
 
     # -- pairwise forward -----------------------------------------------------
     def __call__(self, img_f, img_m, transform_type="affine", **kwargs):
@@ -391,39 +440,21 @@ class KeyMorph:
                     self._next_key(), p_f, p_m, w, self.max_train_keypoints
                 )
 
-            common = dict(
-                w=w,
-                dim=self.dim,
-                align_in_real_world_coords=rw,
-                aff_f=aff_f,
-                aff_m=aff_m,
-                shape_f=shape_f,
-                shape_m=shape_m,
+            num_chunks = 1 if self.training else self.num_subgrids
+            align_fn = self._get_align_fn(
+                align_type,
+                tuple(img_f.shape[2:]),
+                tuple(img_m.shape[2:]),
+                rw,
+                num_chunks,
+                return_aligned_points,
             )
-            if align_type == "rigid":
-                aligner = RigidKeypointAligner(points_m=p_m, points_f=p_f, **common)
-            elif align_type == "affine":
-                aligner = AffineKeypointAligner(points_m=p_m, points_f=p_f, **common)
-            else:
-                aligner = TPS(
-                    points_m=p_m,
-                    points_f=p_f,
-                    lmbda=tps_lmbda,
-                    num_subgrids=self.num_subgrids,
-                    use_checkpoint=self.use_checkpoint,
-                    **common,
-                )
-
-            grid = aligner.get_flow_field(
-                img_f.shape, compute_on_subgrids=not self.training
-            )
-            if return_aligned_points:
-                points_a = aligner.get_forward_transformed_points(p_m)
-            jax.block_until_ready(grid)
+            aligned = align_fn(p_f, p_m, w, tps_lmbda, aff_f, aff_m)
+            jax.block_until_ready(aligned["grid"])
             align_time = time.time() - t0
 
             res = {
-                "grid": grid,
+                "grid": aligned["grid"],
                 "points_f": p_f,
                 "points_m": p_m,
                 "points_weights": w,
@@ -433,9 +464,9 @@ class KeyMorph:
                 "time": keypoint_extract_time + align_time,
             }
             if align_type in ("rigid", "affine"):
-                res["matrix"] = aligner.transform_matrix
+                res["matrix"] = aligned["matrix"]
             if return_aligned_points:
-                res["points_a"] = points_a
+                res["points_a"] = aligned["points_a"]
             result[align_type_str] = res
         return result
 
