@@ -8,30 +8,71 @@ flow + trilinear warp, one jitted program per pair.
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline compares against a measured torch-CPU-reference-derived anchor
-when available (BASELINE.md documents that the reference publishes no
-numbers; the driver records our own trajectory across rounds).
+Timing notes (axon tunnel): identical (executable, args) dispatches are
+memoized and block_until_ready can return early, so each iteration CONSUMES
+THE PREVIOUS OUTPUT as its moving image — a chained data dependency that
+forces real sequential execution — and total wall-clock over the chain is
+divided by N.
+
+Env knobs: BENCH_SIZE (default 256), BENCH_KEYPOINTS (128), BENCH_ITERS (8),
+BENCH_IMPL ("fused" Pallas flow or "xla"; tries fused first, falls back).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
+
+
+def build_register(net, impl: str, num_chunks: int):
+    import jax
+    import jax.numpy as jnp
+
+    from keymorph_tpu.models.keymorph import align_pair
+    from keymorph_tpu.ops.resample import align_img
+    from keymorph_tpu.transforms import solvers
+
+    if impl == "fused":
+        from keymorph_tpu.ops.pallas import tps_register_warp
+
+        @jax.jit
+        def register(params, img_f, img_m):
+            points_f, points_m, _ = net.apply(params, img_f, img_m)
+            theta = solvers.fit_tps(points_f, points_m, jnp.full((img_f.shape[0],), 1.0))
+            warped, _ = tps_register_warp(theta, points_f, img_m)
+            return warped
+
+        return register
+
+    @jax.jit
+    def register(params, img_f, img_m):
+        points_f, points_m, _ = net.apply(params, img_f, img_m)
+        out = align_pair(
+            points_f,
+            points_m,
+            "tps",
+            img_f.shape[2:],
+            lmbda=jnp.full((img_f.shape[0],), 1.0),
+            num_chunks=num_chunks,  # bound the K x N_grid RBF matrix in HBM
+            compute_grid=True,
+        )
+        return align_img(out["grid"], img_m)
+
+    return register
 
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "256"))
     num_keypoints = int(os.environ.get("BENCH_KEYPOINTS", "128"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    impl_pref = os.environ.get("BENCH_IMPL", "fused")
 
     import jax
     import jax.numpy as jnp
 
     from keymorph_tpu.models import TruncatedUNet3D
-    from keymorph_tpu.models.keymorph import KeyMorphNet, align_pair
-    from keymorph_tpu.ops.resample import align_img
+    from keymorph_tpu.models.keymorph import KeyMorphNet
 
     # canonical full-res config: truncatedunet, num_levels=4 (README.md:187-199)
     net = KeyMorphNet(
@@ -46,44 +87,32 @@ def main():
         compute_dtype=jnp.bfloat16,
     )
     shape = (1, 1, size, size, size)
-    rng = jax.random.PRNGKey(0)
-    img_f = jax.random.uniform(rng, shape, jnp.float32)
+    img_f = jax.random.uniform(jax.random.PRNGKey(0), shape, jnp.float32)
     img_m = jax.random.uniform(jax.random.PRNGKey(1), shape, jnp.float32)
     params = net.init(jax.random.PRNGKey(2), img_f, img_m)
 
-    @jax.jit
-    def register(params, img_f, img_m):
-        points_f, points_m, _ = net.apply(params, img_f, img_m)
-        out = align_pair(
-            points_f,
-            points_m,
-            "tps",
-            img_f.shape[2:],
-            lmbda=jnp.full((img_f.shape[0],), 1.0),
-            num_chunks=8,  # bound the K x N_grid RBF matrix in HBM at 256^3
-            compute_grid=True,
-        )
-        return align_img(out["grid"], img_m)
+    impl = impl_pref
+    register = build_register(net, impl, num_chunks=8)
+    try:
+        register(params, img_f, img_m).block_until_ready()
+    except Exception:
+        impl = "xla"
+        register = build_register(net, impl, num_chunks=8)
+        register(params, img_f, img_m).block_until_ready()
 
-    # Distinct inputs per iteration: the axon tunnel memoizes identical
-    # (executable, args) dispatches, so repeating one pair measures nothing.
-    movings = [
-        jax.random.uniform(jax.random.PRNGKey(100 + i), shape, jnp.float32)
-        for i in range(iters)
-    ]
-    jax.block_until_ready(movings)
+    # warm the chained shape path too
+    out = register(params, img_f, img_m)
+    out.block_until_ready()
 
-    # warmup / compile (two calls; the first post-compile dispatch can
-    # return without really blocking)
-    register(params, img_f, img_m).block_until_ready()
-    register(params, img_f, movings[0]).block_until_ready()
-
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        register(params, movings[i], movings[(i + 1) % iters]).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]  # median
+    # chained timing: each registration consumes the previous warped output
+    t0 = time.perf_counter()
+    x = img_m
+    for _ in range(iters):
+        x = register(params, img_f, x)
+    x.block_until_ready()
+    # pull a corner to the host to defeat any deferred completion
+    _ = float(jax.device_get(x[0, 0, 0, 0, 0]))
+    dt = (time.perf_counter() - t0) / iters
     regs_per_sec = 1.0 / dt
 
     baseline = None
@@ -99,7 +128,7 @@ def main():
         json.dumps(
             {
                 "metric": f"pairwise tps registrations/sec/chip at {size}^3 "
-                f"({num_keypoints} kp, truncatedunet, bf16)",
+                f"({num_keypoints} kp, truncatedunet, bf16, {impl} flow)",
                 "value": round(regs_per_sec, 4),
                 "unit": "registrations/sec",
                 "vs_baseline": round(regs_per_sec / baseline, 3) if baseline else None,
