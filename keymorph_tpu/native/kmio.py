@@ -26,7 +26,18 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "libkmio.so")
+    here = os.path.dirname(__file__)
+    path = os.path.join(here, "libkmio.so")
+    if not os.path.exists(path):
+        # build on first use (the .so is not committed)
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", here], check=True, capture_output=True, timeout=120
+            )
+        except Exception:
+            return None
     if not os.path.exists(path):
         return None
     try:
