@@ -337,6 +337,21 @@ class KeyMorph:
             return self._align_cache[key]
 
         d = self.dim
+        # dense TPS flow goes through the fused Pallas kernel on TPU (the XLA
+        # chunked path is ~100x slower there); CPU keeps the XLA path (pallas
+        # interpret mode is test-only)
+        use_pallas_tps = (
+            align_type == "tps" and d == 3 and jax.default_backend() != "cpu"
+        )
+
+        def _norm2real_matrix(aff, spatial):
+            """(B,4,4) homogeneous matrix: norm [-1,1] -> real world."""
+            size = jnp.asarray(spatial, jnp.float32)
+            S = jnp.zeros((4, 4), jnp.float32)
+            S = S.at[jnp.arange(3), jnp.arange(3)].set(size / 2.0)
+            S = S.at[:3, 3].set(size / 2.0 - 0.5)
+            S = S.at[3, 3].set(1.0)
+            return jnp.einsum("bij,jk->bik", aff.astype(jnp.float32), S)
 
         def fn(points_f, points_m, weights, lmbda, aff_f, aff_m):
             res = {}
@@ -345,13 +360,6 @@ class KeyMorph:
             if rw:
                 pf = Coords.convert_points_norm2real(pf, aff_f, spatial_f)
                 pm = Coords.convert_points_norm2real(pm, aff_m, spatial_m)
-            n = int(np.prod(spatial_f))
-            grid_flat = jnp.broadcast_to(Coords.flat_norm_grid(spatial_f), (B, n, d))
-            q = (
-                Coords.convert_points_norm2real(grid_flat, aff_f, spatial_f)
-                if rw
-                else grid_flat
-            )
 
             if align_type in ("affine", "rigid"):
                 fit = (
@@ -359,18 +367,65 @@ class KeyMorph:
                 )
                 inverse = solvers.square_matrix(fit(pf, pm, weights))
                 res["matrix"] = jnp.linalg.inv(inverse)
+                n = int(np.prod(spatial_f))
+                grid_flat = jnp.broadcast_to(
+                    Coords.flat_norm_grid(spatial_f), (B, n, d)
+                )
+                q = (
+                    Coords.convert_points_norm2real(grid_flat, aff_f, spatial_f)
+                    if rw
+                    else grid_flat
+                )
                 moved = Coords.apply_matrix(inverse, q)
+                if rw:
+                    moved = Coords.convert_points_real2norm(moved, aff_m, spatial_m)
+                res["grid"] = jnp.flip(moved.reshape(B, *spatial_f, d), axis=-1)
                 if ret_pts:
                     pa = Coords.apply_matrix(res["matrix"], pm)
             else:
                 inv_theta = solvers.fit_tps(pf, pm, lmbda, weights)
-                moved = solvers.tps_eval_chunked(inv_theta, pf, q, num_chunks)
+                if use_pallas_tps:
+                    from keymorph_tpu.ops.pallas import warp as pw
+
+                    if rw:
+                        pre = _norm2real_matrix(aff_f, spatial_f)
+                        planes = jax.vmap(
+                            lambda th, c, M: pw.tps_flow_planes(
+                                th, c, spatial_f, pre_matrix=M
+                            )
+                        )(inv_theta, pf, pre)
+                        # planes are real coords; map back to moving norm space
+                        pts = jnp.moveaxis(planes, 1, -1).reshape(B, -1, d)
+                        pts = Coords.convert_points_real2norm(pts, aff_m, spatial_m)
+                        planes = jnp.moveaxis(
+                            pts.reshape(B, *spatial_f, d), -1, 1
+                        )
+                    else:
+                        planes = jax.vmap(
+                            lambda th, c: pw.tps_flow_planes(th, c, spatial_f)
+                        )(inv_theta, pf)
+                    res["grid"] = pw.planes_to_grid(planes)
+                else:
+                    n = int(np.prod(spatial_f))
+                    grid_flat = jnp.broadcast_to(
+                        Coords.flat_norm_grid(spatial_f), (B, n, d)
+                    )
+                    q = (
+                        Coords.convert_points_norm2real(grid_flat, aff_f, spatial_f)
+                        if rw
+                        else grid_flat
+                    )
+                    moved = solvers.tps_eval_chunked(inv_theta, pf, q, num_chunks)
+                    if rw:
+                        moved = Coords.convert_points_real2norm(
+                            moved, aff_m, spatial_m
+                        )
+                    res["grid"] = jnp.flip(
+                        moved.reshape(B, *spatial_f, d), axis=-1
+                    )
                 if ret_pts:
                     theta = solvers.fit_tps(pm, pf, lmbda, weights)
                     pa = solvers.tps_eval(theta, pm, pm)
-            if rw:
-                moved = Coords.convert_points_real2norm(moved, aff_m, spatial_m)
-            res["grid"] = jnp.flip(moved.reshape(B, *spatial_f, d), axis=-1)
             if ret_pts:
                 if rw:
                     pa = Coords.convert_points_real2norm(pa, aff_f, spatial_f)

@@ -38,12 +38,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _tps_flow_kernel(ctrl_ref, theta_ref, out_ref, *, spatial, tile):
+def _tps_flow_kernel(ctrl_ref, theta_ref, pre_ref, out_ref, *, spatial, tile):
     """One tile of the flattened output grid.
 
     ctrl_ref:  (T_pad, 128)  control points, columns 0..2 live, rest zero
     theta_ref: (T_pad + 8, 128) spline params, columns 0..2 live
                rows [0, T) = RBF weights, rows [T, T+4) = affine part
+    pre_ref:   (8, 128) optional pre-transform: rows 0..3, cols 0..3 hold a
+               4x4 homogeneous matrix applied to grid points before spline
+               evaluation (identity for plain mode; norm->real for
+               real-world-coordinate alignment)
     out_ref:   (8, tile) `ij` planes for this tile (rows 0..2 live)
     """
     D, H, W = spatial
@@ -62,6 +66,14 @@ def _tps_flow_kernel(ctrl_ref, theta_ref, out_ref, *, spatial, tile):
     px = k.astype(jnp.float32) * sw - 1.0
     P = jnp.stack([pz, py, px], axis=-1)  # (tile, 3)
 
+    # optional affine pre-transform of the query points
+    M = pre_ref[:4, :4]  # (4, 4)
+    Ph0 = jnp.concatenate([P, jnp.ones((P.shape[0], 1), jnp.float32)], axis=-1)
+    P = jax.lax.dot_general(
+        Ph0, M, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, :3]
+
     C = ctrl_ref[:, :3]  # (T_pad, 3); padded rows are zeros
     T_pad = C.shape[0]
     wgt = theta_ref[:T_pad, :3]  # padded rows zero -> contribute nothing
@@ -71,7 +83,8 @@ def _tps_flow_kernel(ctrl_ref, theta_ref, out_ref, *, spatial, tile):
     p2 = jnp.sum(P * P, axis=-1, keepdims=True)  # (tile, 1)
     c2 = jnp.sum(C * C, axis=-1)[None, :]  # (1, T_pad)
     cross = jax.lax.dot_general(
-        P, C, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        P, C, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (tile, T_pad)
     sq = jnp.maximum(p2 + c2 - 2.0 * cross, 0.0)
     r = jnp.sqrt(sq + _EPS_DIST)
@@ -81,11 +94,13 @@ def _tps_flow_kernel(ctrl_ref, theta_ref, out_ref, *, spatial, tile):
     # nonzero U — but their weights rows are zero, so they drop out of the
     # contraction below.
     b = jax.lax.dot_general(
-        U, wgt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        U, wgt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (tile, 3)
     Ph = jnp.concatenate([jnp.ones((P.shape[0], 1), jnp.float32), P], axis=-1)
     z = jax.lax.dot_general(
-        Ph, aff, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        Ph, aff, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out = b + z  # (tile, 3) ij-ordered
 
@@ -98,7 +113,7 @@ def _tps_flow_kernel(ctrl_ref, theta_ref, out_ref, *, spatial, tile):
 
 
 def tps_flow_planes(
-    theta, ctrl, spatial: Sequence[int], tile: int = 2048
+    theta, ctrl, spatial: Sequence[int], tile: int = 2048, pre_matrix=None
 ):
     """Evaluate a fitted 3D TPS over the dense linspace grid.
 
@@ -107,6 +122,8 @@ def tps_flow_planes(
         ctrl: (T, 3) control points the spline was fitted with.
         spatial: (D, H, W) output grid shape.
         tile: points per kernel invocation (multiple of 128).
+        pre_matrix: optional (4, 4) homogeneous transform applied to grid
+            points before spline evaluation (real-world mode's norm->real).
     Returns:
         (3, D, H, W) float32 `ij`-ordered coordinate planes.
     """
@@ -126,6 +143,11 @@ def tps_flow_planes(
     theta_buf = theta_buf.at[T_pad : T_pad + 4, :3].set(
         theta[T : T + 4].astype(jnp.float32)
     )
+    if pre_matrix is None:
+        pre_matrix = jnp.eye(4, dtype=jnp.float32)
+    pre_buf = jnp.zeros((8, 128), jnp.float32).at[:4, :4].set(
+        pre_matrix.astype(jnp.float32)
+    )
 
     grid = (N_pad // tile,)
     out = pl.pallas_call(
@@ -134,11 +156,12 @@ def tps_flow_planes(
         in_specs=[
             pl.BlockSpec((T_pad, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T_pad + 8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, N_pad), jnp.float32),
         interpret=jax.default_backend() == "cpu",  # CPU = tests only
-    )(ctrl_buf, theta_buf)
+    )(ctrl_buf, theta_buf, pre_buf)
     return out[:3, :N].reshape(3, D, H, W)
 
 

@@ -58,6 +58,24 @@ def test_tps_flow_planes_nonpadded_T(tps_setup):
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+def test_tps_flow_planes_pre_matrix(tps_setup):
+    """pre_matrix must be equivalent to transforming the query grid before
+    spline evaluation (the real-world-coordinate mode's norm->real step)."""
+    ctrl, dst, theta = tps_setup
+    spatial = (4, 6, 8)
+    M = np.eye(4, dtype=np.float32)
+    M[:3, :3] = np.diag([1.5, 0.8, 1.2])
+    M[:3, 3] = [0.1, -0.2, 0.3]
+    ours = np.asarray(
+        pw.tps_flow_planes(theta[0], ctrl[0], spatial, tile=128, pre_matrix=jnp.asarray(M))
+    )
+    grid_flat = C.flat_norm_grid(spatial)
+    q = C.apply_matrix(jnp.asarray(M)[None], grid_flat)
+    moved = solvers.tps_eval(theta, ctrl, q)
+    ref = np.asarray(jnp.moveaxis(moved.reshape(1, *spatial, 3), -1, 1))[0]
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
 def test_affine_flow_planes_matches_reference(rng):
     M = np.eye(4, dtype=np.float32)
     M[:3, :3] += 0.1 * rng.normal(size=(3, 3)).astype(np.float32)
