@@ -214,6 +214,57 @@ def tps_eval(theta, ctrl, points):
     return z + b
 
 
+def fit_tps_approximate(c_src, c_dst, lmbda, num_subsample, w=None):
+    """Approximate TPS ("Approximate TPS Mappings", Donato & Belongie,
+    method 2): use only the first `num_subsample` control points as RBF
+    centers, solving the resulting overdetermined (T+d+1) x (S+d+1) system
+    by least squares. Cuts spline-evaluation cost from O(T) to O(S) per
+    query point for large keypoint counts.
+
+    The reference carries this as a commented-out experiment
+    (keypoint_aligners.py:468-590); here it is a working, jit-safe solver.
+    Callers choose the subset by permuting points beforehand (static shapes:
+    the subset is points[:, :num_subsample]).
+
+    Returns:
+        theta: (B, S+d+1, d) — evaluate with tps_eval(theta,
+        c_src[:, :num_subsample], points).
+    """
+    c_src = c_src.astype(jnp.float32)
+    c_dst = c_dst.astype(jnp.float32)
+    B, T, d = c_src.shape
+    S = int(num_subsample)
+    assert S <= T
+    lmbda = jnp.asarray(lmbda, jnp.float32).reshape(B, 1)
+    sub = c_src[:, :S]
+
+    K = tps_rbf(tps_pairwise_dist(c_src, sub))  # (B, T, S)
+    eye_ts = jnp.eye(T, S, dtype=jnp.float32)[None]
+    if w is not None:
+        reg = (lmbda / (w.astype(jnp.float32) + 1e-6))[..., None] * eye_ts
+    else:
+        reg = lmbda[..., None] * eye_ts
+    K = K + reg
+
+    P = jnp.concatenate([jnp.ones((B, T, 1), jnp.float32), c_src], axis=-1)
+    P_sub = jnp.concatenate([jnp.ones((B, S, 1), jnp.float32), sub], axis=-1)
+    A = jnp.concatenate(
+        [
+            jnp.concatenate([K, P], axis=-1),  # (B, T, S+d+1)
+            jnp.concatenate(
+                [jnp.swapaxes(P_sub, -1, -2), jnp.zeros((B, d + 1, d + 1))], axis=-1
+            ),
+        ],
+        axis=-2,
+    )  # (B, T+d+1, S+d+1)
+    v = jnp.concatenate([c_dst, jnp.zeros((B, d + 1, d), jnp.float32)], axis=-2)
+    # normal equations (A^T A) x = A^T v — batched, jit-safe
+    AtA = jnp.einsum("bni,bnj->bij", A, A, precision=_PREC)
+    Atv = jnp.einsum("bni,bnd->bid", A, v, precision=_PREC)
+    AtA = AtA + 1e-8 * jnp.eye(AtA.shape[-1], dtype=jnp.float32)
+    return jnp.linalg.solve(AtA, Atv)  # (B, S+d+1, d)
+
+
 def tps_eval_chunked(theta, ctrl, points, num_chunks=4):
     """Memory-bounded TPS evaluation: process `points` in sequential chunks.
 

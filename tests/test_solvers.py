@@ -206,6 +206,38 @@ def test_tps_affine_limit(rng):
     np.testing.assert_allclose(out, q @ A.T, atol=2e-2)
 
 
+def test_tps_approximate_full_subset_matches_exact(rng):
+    """S == T reduces approximate TPS to the exact fit (the square system
+    solved by least squares)."""
+    c_src = rng.uniform(-1, 1, size=(1, 10, 3)).astype(np.float32)
+    c_dst = (c_src + 0.1 * rng.normal(size=(1, 10, 3))).astype(np.float32)
+    lmbda = np.full((1,), 0.5, np.float32)
+    exact = solvers.fit_tps(jnp.asarray(c_src), jnp.asarray(c_dst), jnp.asarray(lmbda))
+    approx = solvers.fit_tps_approximate(
+        jnp.asarray(c_src), jnp.asarray(c_dst), jnp.asarray(lmbda), 10
+    )
+    q = jnp.asarray(rng.uniform(-1, 1, size=(1, 20, 3)).astype(np.float32))
+    out_e = np.asarray(solvers.tps_eval(exact, jnp.asarray(c_src), q))
+    out_a = np.asarray(solvers.tps_eval(approx, jnp.asarray(c_src), q))
+    np.testing.assert_allclose(out_a, out_e, atol=1e-3)
+
+
+def test_tps_approximate_subset_close(rng):
+    """A generous subset approximates the full spline on smooth warps."""
+    c_src = rng.uniform(-1, 1, size=(1, 40, 3)).astype(np.float32)
+    A = (np.eye(3) + 0.05 * rng.normal(size=(3, 3))).astype(np.float32)
+    c_dst = c_src @ A.T
+    lmbda = np.full((1,), 0.1, np.float32)
+    approx = solvers.fit_tps_approximate(
+        jnp.asarray(c_src), jnp.asarray(c_dst), jnp.asarray(lmbda), 24
+    )
+    q = jnp.asarray(rng.uniform(-0.8, 0.8, size=(1, 30, 3)).astype(np.float32))
+    out = np.asarray(
+        solvers.tps_eval(approx, jnp.asarray(c_src[:, :24]), q)
+    )
+    np.testing.assert_allclose(out, np.asarray(q) @ A.T, atol=2e-2)
+
+
 def test_tps_chunked_equals_dense(rng):
     c_src = rng.uniform(-1, 1, size=(2, 8, 3)).astype(np.float32)
     c_dst = rng.uniform(-1, 1, size=(2, 8, 3)).astype(np.float32)
