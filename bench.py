@@ -104,15 +104,34 @@ def main():
     out = register(params, img_f, img_m)
     out.block_until_ready()
 
-    # chained timing: each registration consumes the previous warped output
-    t0 = time.perf_counter()
-    x = img_m
-    for _ in range(iters):
-        x = register(params, img_f, x)
-    x.block_until_ready()
-    # pull a corner to the host to defeat any deferred completion
-    _ = float(jax.device_get(x[0, 0, 0, 0, 0]))
-    dt = (time.perf_counter() - t0) / iters
+    # In-program chain: N data-dependent registrations inside ONE jitted
+    # program (lax.fori_loop), so tunnel dispatch overhead is paid once and
+    # the device executes the chain back-to-back.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(params, img_f, x, n):
+        def body(i, x):
+            return register.__wrapped__(params, img_f, x)
+
+        return jax.lax.fori_loop(0, n, body, x)
+
+    try:
+        chain(params, img_f, img_m, 1).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        x = chain(params, img_f, img_m, iters)
+        x.block_until_ready()
+        _ = jax.device_get(x[0, 0, 0])  # force completion with a real d2h
+        dt = (time.perf_counter() - t0) / iters
+    except Exception:
+        # fallback: host-side chain
+        t0 = time.perf_counter()
+        x = img_m
+        for _ in range(iters):
+            x = register(params, img_f, x)
+        x.block_until_ready()
+        _ = jax.device_get(x[0, 0, 0])
+        dt = (time.perf_counter() - t0) / iters
     regs_per_sec = 1.0 / dt
 
     baseline = None
