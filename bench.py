@@ -104,33 +104,44 @@ def main():
     out = register(params, img_f, img_m)
     out.block_until_ready()
 
-    # In-program chain: N data-dependent registrations inside ONE jitted
-    # program (lax.fori_loop), so tunnel dispatch overhead is paid once and
-    # the device executes the chain back-to-back.
-    import functools
+    # Preferred timing: the device-side profiler trace. Host wall-clock over
+    # the axon tunnel is unstable (0.2-13 s for the same 206 ms program,
+    # depending on tunnel state); the XLA device trace gives the real
+    # on-chip duration of the registration program. Fallback: host-chained
+    # dispatches (an in-program lax.fori_loop chain is ~60x slower still —
+    # XLA lowers the warp gather serially inside while-loops).
+    dt = None
+    if os.environ.get("BENCH_MODE", "trace") == "trace":
+        try:
+            import tempfile
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(params, img_f, x, n):
-        def body(i, x):
-            return register.__wrapped__(params, img_f, x)
+            from keymorph_tpu.tools.trace_summary import find_trace_file, summarize_trace
 
-        return jax.lax.fori_loop(0, n, body, x)
+            trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+            jax.profiler.start_trace(trace_dir)
+            for i in range(min(iters, 3)):
+                register(
+                    params,
+                    img_f,
+                    jax.random.uniform(jax.random.PRNGKey(50 + i), shape, jnp.float32),
+                ).block_until_ready()
+            jax.profiler.stop_trace()
+            trace = find_trace_file(trace_dir)
+            rows = summarize_trace(trace, top_n=5) if trace else []
+            top = [r for r in rows if "register" in r[0] or "jit" in r[0]]
+            if top:
+                name, total_ms, count = top[0]
+                dt = total_ms / count / 1000.0
+        except Exception:
+            dt = None
 
-    try:
-        chain(params, img_f, img_m, 1).block_until_ready()  # compile
-        t0 = time.perf_counter()
-        x = chain(params, img_f, img_m, iters)
-        x.block_until_ready()
-        _ = jax.device_get(x[0, 0, 0])  # force completion with a real d2h
-        dt = (time.perf_counter() - t0) / iters
-    except Exception:
-        # fallback: host-side chain
+    if dt is None:
         t0 = time.perf_counter()
         x = img_m
         for _ in range(iters):
             x = register(params, img_f, x)
         x.block_until_ready()
-        _ = jax.device_get(x[0, 0, 0])
+        _ = jax.device_get(x[0, 0, 0])  # force completion with a real d2h
         dt = (time.perf_counter() - t0) / iters
     regs_per_sec = 1.0 / dt
 

@@ -186,6 +186,44 @@ def affine_flow_planes(inverse_matrix, spatial: Sequence[int]):
     return jnp.stack(planes, axis=0)
 
 
+def _trilinear_block_gather(vol, c0, c1, c2):
+    """Trilinear sample of (D,H,W) `vol` at voxel coords (already border-
+    clamped to [0, N-1]) given as three (M,) arrays.
+
+    ONE lax.gather with 2x2x2 slices instead of 8 scalar gathers — the
+    device profile shows 8 independent corner gathers dominate the warp
+    (8 x 18 ms at 128^3); slice-gather amortizes index processing and reads
+    pairs contiguously in the minor dimension.
+    """
+    D, H, W = vol.shape
+    lo0 = jnp.clip(jnp.floor(c0), 0, D - 2).astype(jnp.int32)
+    lo1 = jnp.clip(jnp.floor(c1), 0, H - 2).astype(jnp.int32)
+    lo2 = jnp.clip(jnp.floor(c2), 0, W - 2).astype(jnp.int32)
+    t0 = c0 - lo0  # in [0, 1] (== 1 exactly at the far border)
+    t1 = c1 - lo1
+    t2 = c2 - lo2
+
+    starts = jnp.stack([lo0, lo1, lo2], axis=-1)  # (M, 3)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2),
+    )
+    blocks = jax.lax.gather(
+        vol,
+        starts,
+        dimension_numbers=dnums,
+        slice_sizes=(2, 2, 2),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (M, 2, 2, 2)
+    w0 = jnp.stack([1.0 - t0, t0], axis=-1)  # (M, 2)
+    w1 = jnp.stack([1.0 - t1, t1], axis=-1)
+    w2 = jnp.stack([1.0 - t2, t2], axis=-1)
+    return jnp.einsum(
+        "mabc,ma,mb,mc->m", blocks, w0, w1, w2, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def grid_sample_planes(img, planes, mode: str = "bilinear"):
     """Trilinear/nearest sampling from `ij`-ordered coordinate planes.
 
@@ -211,6 +249,12 @@ def grid_sample_planes(img, planes, mode: str = "bilinear"):
     coords = [
         _unnormalize(planes[:, a].astype(compute_dtype), spatial[a]) for a in range(d)
     ]
+
+    # NOTE: a 2x2x2 slice-gather variant (_trilinear_block_gather) was tried
+    # and profiled 25x SLOWER on TPU: XLA lowers non-unit slice gathers to a
+    # serial while-loop of dynamic-slices (333k iterations at 128^3), while
+    # scalar gathers take the vectorized path. Eight scalar corner gathers
+    # (~18 ms each at 128^3) remain the fastest XLA formulation.
     img_flat = img.reshape(B, C, -1).astype(compute_dtype)
     strides = []
     s = 1
