@@ -150,7 +150,10 @@ def main():
     if os.path.exists(baseline_path):
         try:
             with open(baseline_path) as fh:
-                baseline = json.load(fh).get("registrations_per_sec")
+                data = json.load(fh)
+            baseline = data.get("per_size", {}).get(str(size)) or data.get(
+                "registrations_per_sec"
+            )
         except Exception:
             baseline = None
 
