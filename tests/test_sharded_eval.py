@@ -1,0 +1,64 @@
+"""Multi-chip eval fan-out: pairs sharded over the mesh must reproduce
+single-device registration results exactly."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from keymorph_tpu.models import UNet3D
+from keymorph_tpu.models.keymorph import KeyMorphNet, align_pair
+from keymorph_tpu.parallel import make_mesh, make_sharded_register_fn
+from keymorph_tpu.parallel.sharded import make_sharded_groupwise_fn
+from keymorph_tpu.training.config import Config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    net = KeyMorphNet(
+        backbone=UNet3D(out_channels=8, f_maps=4, num_levels=2), num_keypoints=8
+    )
+    imgs_f = jnp.asarray(rng.normal(size=(8, 1, 12, 12, 12)).astype(np.float32))
+    imgs_m = jnp.asarray(rng.normal(size=(8, 1, 12, 12, 12)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), imgs_f[:1], imgs_m[:1])
+    return net, params, imgs_f, imgs_m
+
+
+def test_sharded_register_matches_single(setup):
+    net, params, imgs_f, imgs_m = setup
+    config = Config(num_keypoints=8, transform_type="affine")
+    mesh = make_mesh(num_devices=8, space=1)
+    fn = make_sharded_register_fn(net, config, mesh)
+    grid_sh, pf_sh, pm_sh = fn(params, imgs_f, imgs_m)
+
+    # single-device reference, pair by pair
+    for i in range(8):
+        pf, pm, _ = net.apply(params, imgs_f[i : i + 1], imgs_m[i : i + 1])
+        out = align_pair(pf, pm, "affine", imgs_f.shape[2:], compute_grid=True)
+        # batched (B=8) vs single (B=1) conv reductions differ in the last
+        # ulps; the closed-form fit amplifies slightly
+        np.testing.assert_allclose(
+            np.asarray(grid_sh[i]), np.asarray(out["grid"][0]), atol=5e-4
+        )
+
+
+def test_sharded_register_tps(setup):
+    net, params, imgs_f, imgs_m = setup
+    config = Config(num_keypoints=8, transform_type="tps_0.5")
+    mesh = make_mesh(num_devices=4, space=2)
+    fn = make_sharded_register_fn(net, config, mesh)
+    grid_sh, _, _ = fn(params, imgs_f, imgs_m)
+    assert grid_sh.shape == (8, 12, 12, 12, 3)
+    assert np.isfinite(np.asarray(grid_sh)).all()
+
+
+def test_sharded_groupwise_matches_single(setup):
+    net, params, imgs_f, _ = setup
+    config = Config(num_keypoints=8)
+    mesh = make_mesh(num_devices=8, space=1)
+    fn = make_sharded_groupwise_fn(net, config, mesh, transform_type="affine", num_iters=3)
+    pts, aligned = fn(params, imgs_f)
+    assert aligned.shape == (8, 8, 3)
+    spread = lambda p: float(np.mean(np.var(np.asarray(p), axis=0)))
+    assert spread(aligned) <= spread(pts) + 1e-7
