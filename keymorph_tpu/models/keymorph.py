@@ -575,16 +575,39 @@ class KeyMorph:
             num_subjects = len(arr)
 
         group_points = []
+        group_weights = [] if self.weight_keypoints else None
         spatial = None
         for i, img in enumerate(loader):
             img = jnp.asarray(img, jnp.float32)
             if img.ndim == self.dim + 1:
                 img = img[None]
             spatial = img.shape
-            group_points.append(np.asarray(self.get_keypoints(img)))
+            if self.weight_keypoints:
+                # per-subject keypoint confidences — weighted groupwise
+                # registration, the reference's open TODO (model.py:296,
+                # :408-414): "power" = normalized heatmap mass, "variance" =
+                # learned inverse-variance, each per subject
+                points, feat = self.get_keypoints(img, return_feat=True)
+                axes = tuple(range(1, feat.ndim - 1))
+                if self.weight_keypoints == "power":
+                    w = jnp.sum(jax.nn.relu(feat.astype(jnp.float32)), axis=axes)
+                else:  # variance
+                    var = jnp.var(jax.nn.relu(feat.astype(jnp.float32)), axis=axes)
+                    scales = self.params["params"]["scales"]
+                    biases = self.params["params"]["biases"]
+                    w = 1.0 / (scales * var + biases + 1e-8)
+                w = w / jnp.sum(w, axis=-1, keepdims=True)
+                group_weights.append(np.asarray(w))
+            else:
+                points = self.get_keypoints(img)
+            group_points.append(np.asarray(points))
             if log:
                 print(f"-> Extracted keypoints from subject {i+1}/{num_subjects}")
         group_points = jnp.concatenate([jnp.asarray(p) for p in group_points], axis=0)
+        if group_weights is not None:
+            group_weights = jnp.concatenate(
+                [jnp.asarray(w) for w in group_weights], axis=0
+            )
 
         result: RegistrationResult = {}
         for align_type_str in transform_type:
@@ -610,6 +633,7 @@ class KeyMorph:
                     align_type,
                     (),
                     lmbda=lm,
+                    weights=group_weights,
                     compute_grid=False,
                     compute_aligned_points=True,
                 )["points_a"]
@@ -621,6 +645,8 @@ class KeyMorph:
                 "grouppoints_m": group_points,
                 "grouppoints_a": curr,
             }
+            if group_weights is not None:
+                res["grouppoints_weights"] = group_weights
 
             # grids: original points -> final mean points (model.py:453-510)
             grid_spatial = spatial[2:]
@@ -635,6 +661,9 @@ class KeyMorph:
                     align_type,
                     grid_spatial,
                     lmbda=lm,
+                    weights=(
+                        group_weights[i : i + 1] if group_weights is not None else None
+                    ),
                     num_chunks=self.num_subgrids,
                     compute_grid=True,
                 )["grid"]
