@@ -185,14 +185,18 @@ def _lc2_run(us, mr, radius, alpha=1e-3, beta=1e-2):
         axis=1,
     )
     b = us[sl].reshape(bs, -1)
-    C = jnp.einsum("bip,bjp->bij", A, A) / count + jnp.eye(3)[None] * alpha
-    Atb = jnp.einsum("bip,bp->bi", A, b) / count
+    C = (
+        jnp.einsum("bip,bjp->bij", A, A, precision=jax.lax.Precision.HIGHEST)
+        / count
+        + jnp.eye(3)[None] * alpha
+    )
+    Atb = jnp.einsum("bip,bp->bi", A, b, precision=jax.lax.Precision.HIGHEST) / count
     coeff = jnp.linalg.solve(C, Atb[..., None])[..., 0]
     var = jnp.mean(b**2, axis=1) - jnp.mean(b, axis=1) ** 2
     dist = (
         jnp.mean(b**2, axis=1)
-        + jnp.einsum("bi,bj,bij->b", coeff, coeff, C)
-        - 2 * jnp.einsum("bi,bi->b", coeff, Atb)
+        + jnp.einsum("bi,bj,bij->b", coeff, coeff, C, precision=jax.lax.Precision.HIGHEST)
+        - 2 * jnp.einsum("bi,bi->b", coeff, Atb, precision=jax.lax.Precision.HIGHEST)
     )
     sym = (var - dist) / jnp.maximum(var, beta)
     return jnp.clip(sym, 0.0, 1.0)

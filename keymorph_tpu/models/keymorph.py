@@ -351,7 +351,12 @@ class KeyMorph:
             S = S.at[jnp.arange(3), jnp.arange(3)].set(size / 2.0)
             S = S.at[:3, 3].set(size / 2.0 - 0.5)
             S = S.at[3, 3].set(1.0)
-            return jnp.einsum("bij,jk->bik", aff.astype(jnp.float32), S)
+            return jnp.einsum(
+                "bij,jk->bik",
+                aff.astype(jnp.float32),
+                S,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         def fn(points_f, points_m, weights, lmbda, aff_f, aff_m):
             res = {}

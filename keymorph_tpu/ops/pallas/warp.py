@@ -79,14 +79,13 @@ def _tps_flow_kernel(ctrl_ref, theta_ref, pre_ref, out_ref, *, spatial, tile):
     wgt = theta_ref[:T_pad, :3]  # padded rows zero -> contribute nothing
     aff = theta_ref[T_pad : T_pad + 4, :3]  # (4, 3)
 
-    # pairwise squared distances via MXU
-    p2 = jnp.sum(P * P, axis=-1, keepdims=True)  # (tile, 1)
-    c2 = jnp.sum(C * C, axis=-1)[None, :]  # (1, T_pad)
-    cross = jax.lax.dot_general(
-        P, C, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (tile, T_pad)
-    sq = jnp.maximum(p2 + c2 - 2.0 * cross, 0.0)
+    # pairwise squared distances in DIFFERENCE form: the |p|^2+|c|^2-2pc
+    # MXU expansion cancels catastrophically for large (real-world)
+    # coordinates; three VPU (tile, T_pad) FMA passes are cheap and exact
+    sq = jnp.zeros((P.shape[0], T_pad), jnp.float32)
+    for a in range(3):
+        dd = P[:, a][:, None] - C[:, a][None, :]
+        sq = sq + dd * dd
     r = jnp.sqrt(sq + _EPS_DIST)
     U = r * r * jnp.log(r + _EPS_LOG)
 

@@ -123,16 +123,16 @@ def fit_rigid(p1, p2, w=None):
 def tps_pairwise_dist(a, b):
     """sqrt(||a_i - b_j||^2 + 1e-6): (B, Na, d), (B, Nb, d) -> (B, Na, Nb).
 
-    Expanded as |a|^2 + |b|^2 - 2 a.b so the inner product hits the MXU for
-    large point sets (the dense-grid evaluation is a (T x N_grid) matmul).
-    Parity: reference keypoint_aligners.py:322-334.
+    Difference form (like the reference, keypoint_aligners.py:322-334): the
+    |a|^2+|b|^2-2ab MXU expansion cancels catastrophically when coordinates
+    are large (real-world/scanner frames reach O(100): sq errors ~4e-4
+    swamp near-zero distances). XLA fuses the elementwise square/reduce, so
+    the (Na, Nb, d) intermediate is never materialized.
     """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    a2 = jnp.sum(a * a, axis=-1)[..., :, None]
-    b2 = jnp.sum(b * b, axis=-1)[..., None, :]
-    ab = jnp.einsum("bnd,bmd->bnm", a, b, precision=_PREC)
-    sq = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+    diff = a[..., :, None, :] - b[..., None, :, :]
+    sq = jnp.sum(diff * diff, axis=-1)
     return jnp.sqrt(sq + _EPS_DIST)
 
 
