@@ -8,7 +8,7 @@ keypoint_aligners.py:365-397). The XLA reference path materializes the
 coordinates from the program id, builds per-tile distance/RBF blocks in
 VMEM, and hits the MXU twice per tile:
 
-    sq   = |p|^2 + |c|^2 - 2 P C^T          (TILE,3)@(3,T)   MXU
+    sq   = sum_a (P_a - C_a)^2              3 VPU FMA passes (exact fp32)
     out  = U(sq) @ w + [1|P] @ a            (TILE,T)@(T,3)   MXU
 
 Flow is emitted as `ij`-ordered coordinate PLANES (3, D, H, W) — the layout
@@ -183,44 +183,6 @@ def affine_flow_planes(inverse_matrix, spatial: Sequence[int]):
         m[a, 0] * zz + m[a, 1] * yy + m[a, 2] * xx + m[a, 3] for a in range(3)
     ]
     return jnp.stack(planes, axis=0)
-
-
-def _trilinear_block_gather(vol, c0, c1, c2):
-    """Trilinear sample of (D,H,W) `vol` at voxel coords (already border-
-    clamped to [0, N-1]) given as three (M,) arrays.
-
-    ONE lax.gather with 2x2x2 slices instead of 8 scalar gathers — the
-    device profile shows 8 independent corner gathers dominate the warp
-    (8 x 18 ms at 128^3); slice-gather amortizes index processing and reads
-    pairs contiguously in the minor dimension.
-    """
-    D, H, W = vol.shape
-    lo0 = jnp.clip(jnp.floor(c0), 0, D - 2).astype(jnp.int32)
-    lo1 = jnp.clip(jnp.floor(c1), 0, H - 2).astype(jnp.int32)
-    lo2 = jnp.clip(jnp.floor(c2), 0, W - 2).astype(jnp.int32)
-    t0 = c0 - lo0  # in [0, 1] (== 1 exactly at the far border)
-    t1 = c1 - lo1
-    t2 = c2 - lo2
-
-    starts = jnp.stack([lo0, lo1, lo2], axis=-1)  # (M, 3)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1, 2),
-    )
-    blocks = jax.lax.gather(
-        vol,
-        starts,
-        dimension_numbers=dnums,
-        slice_sizes=(2, 2, 2),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (M, 2, 2, 2)
-    w0 = jnp.stack([1.0 - t0, t0], axis=-1)  # (M, 2)
-    w1 = jnp.stack([1.0 - t1, t1], axis=-1)
-    w2 = jnp.stack([1.0 - t2, t2], axis=-1)
-    return jnp.einsum(
-        "mabc,ma,mb,mc->m", blocks, w0, w1, w2, precision=jax.lax.Precision.HIGHEST
-    )
 
 
 def grid_sample_planes(img, planes, mode: str = "bilinear"):
