@@ -124,10 +124,12 @@ def _run_group_eval_dir(
     )
 
     for align, res_dict in registration_results.items():
+        # exact-prefix match: bare startswith(align) would mix tps_1/tps_10
+        # and tps_0/tps_0.1 grids (silent metric corruption)
         grid_paths = sorted(
             str(registration_results_dir / f)
             for f in os.listdir(registration_results_dir)
-            if f.startswith(align)
+            if f.startswith(f"{align}_grid_")
         )
         img_a_paths, seg_a_paths = [], []
         for i, img_path in enumerate(groupimg_m_paths):

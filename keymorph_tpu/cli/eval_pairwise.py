@@ -55,13 +55,18 @@ def run_eval(
     )
     seg_available = getattr(args, "seg_available", False)
 
+    wanted_pairs = {(str(n1), str(n2)) for n1, n2 in list_of_eval_names}
     for i, (fixed, moving) in enumerate(loader):
         if args.early_stop_eval_subjects and i == args.early_stop_eval_subjects:
             break
+        mod1 = fixed["modality"][0]
+        mod2 = moving["modality"][0]
+        if (str(mod1), str(mod2)) not in wanted_pairs:
+            # loader may carry pairs for other suites (uni vs multimodal);
+            # only score the ones this suite's metric dict was built for
+            continue
         for aug in list_of_eval_augs:
             param = parse_test_aug(aug)
-            mod1 = fixed["modality"][0]
-            mod2 = moving["modality"][0]
             mod1_str = "-".join(str(mod1).split("/")[-2:])
             mod2_str = "-".join(str(mod2).split("/")[-2:])
             save_dir = (
@@ -102,6 +107,21 @@ def run_eval(
                     aff_f=aff_f,
                     aff_m=aff_m,
                 )
+
+                # align-independent artifacts: save once per (pair, aug)
+                np.save(save_dir / f"img_f_{i}-{mod1_str}.npy", np.asarray(img_f[0]))
+                np.save(
+                    save_dir / f"img_m_{i}-{mod2_str}-{aug}.npy", np.asarray(img_m[0])
+                )
+                if seg_available:
+                    np.save(
+                        save_dir / f"seg_f_{i}-{mod1_str}.npy",
+                        np.argmax(np.asarray(seg_f), axis=1),
+                    )
+                    np.save(
+                        save_dir / f"seg_m_{i}-{mod2_str}-{aug}.npy",
+                        np.argmax(np.asarray(seg_m), axis=1),
+                    )
 
                 all_metrics = {}
                 for align, res in results.items():
@@ -154,12 +174,9 @@ def run_eval(
 
                     print(f"-> {align}: time={res['time']:.3f}s", metrics)
 
-                    # artifacts (same filenames as the reference)
+                    # per-align artifacts (same filenames as the reference);
+                    # align-independent files were saved above, once
                     save_dict_as_json(metrics, metrics_paths[align])
-                    np.save(save_dir / f"img_f_{i}-{mod1_str}.npy", np.asarray(img_f[0]))
-                    np.save(
-                        save_dir / f"img_m_{i}-{mod2_str}-{aug}.npy", np.asarray(img_m[0])
-                    )
                     np.save(
                         save_dir / f"img_a_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
                         np.asarray(img_a[0]),
@@ -169,14 +186,6 @@ def run_eval(
                         np.asarray(grid[0]),
                     )
                     if seg_available:
-                        np.save(
-                            save_dir / f"seg_f_{i}-{mod1_str}.npy",
-                            np.argmax(np.asarray(seg_f), axis=1),
-                        )
-                        np.save(
-                            save_dir / f"seg_m_{i}-{mod2_str}-{aug}.npy",
-                            np.argmax(np.asarray(seg_m), axis=1),
-                        )
                         np.save(
                             save_dir
                             / f"seg_a_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",

@@ -5,15 +5,11 @@ from __future__ import annotations
 import json
 import math
 import os
-from collections import defaultdict
 
 
-def parse_test_mod(mod):
-    if isinstance(mod, str):
-        mod1, mod2 = mod.split("_")
-    else:
-        mod1, mod2 = mod
-    return mod1, mod2
+# canonical helpers live in keymorph_tpu.utils; re-exported here for the
+# reference-parity import surface
+from keymorph_tpu.utils import aggregate_dicts, parse_test_mod  # noqa: F401
 
 
 def parse_test_aug(aug):
@@ -28,15 +24,6 @@ def parse_test_aug(aug):
     if aug in rots:
         return (0.0, 0.0, rots[aug], 0.0)
     raise NotImplementedError(f"Unknown aug {aug}")
-
-
-def aggregate_dicts(dicts):
-    """Mean over a list of dicts (script_utils.py:42-47)."""
-    result = defaultdict(list)
-    for d in dicts:
-        for k, v in d.items():
-            result[k].append(float(v))
-    return {k: sum(v) / len(v) for k, v in result.items()}
 
 
 def save_dict_as_json(d, path):

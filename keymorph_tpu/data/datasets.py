@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from keymorph_tpu.data.preprocess import Preprocessor
+from keymorph_tpu.utils import parse_test_mod
 
 
 @dataclasses.dataclass
@@ -37,15 +38,6 @@ class Subject:
         out["modality"] = self.modality
         out["name"] = self.name or os.path.basename(self.img_path).split(".")[0]
         return out
-
-
-def parse_test_mod(mod):
-    """'T1_T2' -> ('T1', 'T2') (reference dataset/utils.py:75-80)."""
-    if isinstance(mod, str):
-        mod1, mod2 = mod.split("_")
-    else:
-        mod1, mod2 = mod
-    return mod1, mod2
 
 
 class PairedDataset:

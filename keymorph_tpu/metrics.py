@@ -163,6 +163,10 @@ def _lc2_run(us, mr, radius, alpha=1e-3, beta=1e-2):
     mr = jnp.asarray(mr, jnp.float32)[:, 0]
     bs = mr.shape[0]
     size = mr.shape[1]
+    assert us.shape[1] == us.shape[2] == us.shape[3], "Input must be cubic"
+    # odd size makes the center crop exactly (2r+1)^3 voxels (the reference's
+    # same constraint, loss_ops.py:273); even sizes would shape-mismatch
+    assert size % 2 == 1, f"Input must be odd size, got {size}"
     pad = (size - (2 * radius + 1)) // 2
     count = (2 * radius + 1) ** 3
 

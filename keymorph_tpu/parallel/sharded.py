@@ -127,6 +127,12 @@ def make_sharded_register_fn(net: KeyMorphNet, config: Config, mesh: Mesh,
     align_type, lmbda_spec = parse_transform_type(
         transform_type or config.transform_type
     )
+    if align_type == "tps" and not isinstance(lmbda_spec, (int, float)):
+        raise ValueError(
+            f"sharded register needs a numeric TPS lambda (got tps_{lmbda_spec}); "
+            "distributional lambdas are a training-time feature — pass e.g. "
+            "transform_type='tps_1' for inference"
+        )
     batch_sh = NamedSharding(mesh, P("data"))
 
     @jax.jit
@@ -165,6 +171,10 @@ def make_sharded_groupwise_fn(net: KeyMorphNet, config: Config, mesh: Mesh,
     Returns fn(params, imgs (N,1,*S)) -> (group_points, aligned_points).
     """
     align_type, lmbda_spec = parse_transform_type(transform_type)
+    if align_type == "tps" and not isinstance(lmbda_spec, (int, float)):
+        raise ValueError(
+            f"sharded groupwise needs a numeric TPS lambda (got tps_{lmbda_spec})"
+        )
     subj_sh = NamedSharding(mesh, P("data"))
 
     @jax.jit

@@ -254,10 +254,11 @@ def make_train_step_sameres(net: KeyMorphNet, config: Config, tx=None):
     return step
 
 
-def aggregate_dicts(dicts):
-    """Mean-reduce a list of metric dicts (reference script_utils.py:42-47)."""
-    keys = dicts[0].keys()
-    return {k: float(np.mean([float(d[k]) for d in dicts])) for k in keys}
+# canonical helper lives in keymorph_tpu.utils (shared with the CLI layer)
+from keymorph_tpu.utils import aggregate_dicts  # noqa: E402
+
+# per-step-fn one-hot channel-count pins (see run_train's dice branch)
+_N_CLS_CACHE: Dict[int, Optional[int]] = {}
 
 
 def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key,
@@ -318,9 +319,25 @@ def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key,
                     b_f["seg"], b_m["seg"], config.max_train_seg_channels
                 )
             else:
-                n_cls = int(max(b_f["seg"].max(), b_m["seg"].max())) + 1
-                seg_f = one_hot(jnp.asarray(b_f["seg"], jnp.int32), n_cls)
-                seg_m = one_hot(jnp.asarray(b_m["seg"], jnp.int32), n_cls)
+                # pin the one-hot channel count for the whole run: a per-batch
+                # max would change the jitted step's signature every time a
+                # new label ceiling appears (full XLA recompile per count)
+                batch_max = int(max(b_f["seg"].max(), b_m["seg"].max())) + 1
+                if _N_CLS_CACHE.get(id(step_fn)) is None:
+                    _N_CLS_CACHE[id(step_fn)] = batch_max
+                n_cls = _N_CLS_CACHE[id(step_fn)]
+                if batch_max > n_cls:
+                    print(
+                        f"WARNING: labels >= {n_cls} clipped (set "
+                        "max_train_seg_channels for datasets with ragged label "
+                        "sets)"
+                    )
+                seg_f = one_hot(
+                    jnp.clip(jnp.asarray(b_f["seg"], jnp.int32), 0, n_cls - 1), n_cls
+                )
+                seg_m = one_hot(
+                    jnp.clip(jnp.asarray(b_m["seg"], jnp.int32), 0, n_cls - 1), n_cls
+                )
         else:
             # placeholder tensors keep the jitted signature stable
             seg_f = seg_m = jnp.zeros((1,), jnp.float32)
@@ -338,9 +355,16 @@ def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key,
         ):
             mods = list(modality_datasets.keys())
             rng_key, k1, k2 = jax.random.split(rng_key, 3)
-            m1, m2 = np.random.choice(len(mods), size=2, replace=False)
+            # pair/subject selection from the threaded key: reproducible from
+            # rng_key alone (global numpy state would break resume replay)
+            sel = jax.random.permutation(k1, len(mods))
+            m1, m2 = int(sel[0]), int(sel[1])
             ds1, ds2 = modality_datasets[mods[m1]], modality_datasets[mods[m2]]
-            idx = np.random.randint(0, min(len(ds1), len(ds2)))
+            idx = int(
+                jax.random.randint(
+                    jax.random.fold_in(k1, 1), (), 0, min(len(ds1), len(ds2))
+                )
+            )
             sub1 = jnp.asarray(ds1[idx]["img"], jnp.float32)[None]
             sub2 = jnp.asarray(ds2[idx]["img"], jnp.float32)[None]
             state, kp_metrics = kp_step_fn(state, k2, sub1, sub2, jnp.float32(aug_scale))

@@ -18,6 +18,30 @@ def str_or_float(x):
         return x
 
 
+def parse_test_mod(mod):
+    """'T1_T2' -> ('T1', 'T2') (reference script_utils.py:15-21 /
+    dataset/utils.py:75-80). Canonical home for the helper shared by the
+    data layer and the CLI."""
+    if isinstance(mod, str):
+        mod1, mod2 = mod.split("_")
+    else:
+        mod1, mod2 = mod
+    return mod1, mod2
+
+
+def aggregate_dicts(dicts):
+    """Mean over a list of metric dicts, averaging over the union of keys
+    (reference script_utils.py:42-47). Canonical home for the helper shared
+    by training and the CLI."""
+    from collections import defaultdict
+
+    result = defaultdict(list)
+    for d in dicts:
+        for k, v in d.items():
+            result[k].append(float(v))
+    return {k: sum(v) / len(v) for k, v in result.items()}
+
+
 def one_hot(seg, num_classes: Optional[int] = None):
     """Segmentation labels -> one-hot channels.
 
@@ -35,18 +59,20 @@ def one_hot(seg, num_classes: Optional[int] = None):
     return jnp.moveaxis(oh, -1, 1)
 
 
-def one_hot_subsampled_pair(seg1, seg2, subsample_num: int = 14, seed: int = 0):
+def one_hot_subsampled_pair(seg1, seg2, subsample_num: int = 14, seed=None):
     """One-hot both segmentations over a random subset of their SHARED labels.
 
     Host-side (label sets are data-dependent); the result has a fixed channel
-    count so downstream Dice jits with a static shape.
+    count so downstream Dice jits with a static shape. A FRESH random subset
+    is drawn per call (like the reference's global-RNG np.random.choice,
+    utils.py:218) unless `seed` pins one for tests.
     Parity: reference utils.py:208-240.
     """
     s1 = np.asarray(seg1)
     s2 = np.asarray(seg2)
     shared = np.intersect1d(np.unique(s1), np.unique(s2), assume_unique=False)
     if len(shared) > subsample_num:
-        rng = np.random.default_rng(seed)
+        rng = np.random.default_rng(seed)  # seed=None -> fresh entropy
         selected = rng.choice(shared, subsample_num, replace=False)
     else:
         selected = shared
