@@ -170,5 +170,50 @@ def main():
     )
 
 
+def main_with_watchdog():
+    """Run the benchmark in a subprocess with a hard timeout.
+
+    The TPU tunnel in this environment occasionally wedges (hangs any XLA
+    dispatch); a hung bench would stall the driver. The child re-invokes
+    this file with KM_BENCH_CHILD=1; on timeout we report an explicit
+    failure line instead of hanging.
+    """
+    import subprocess
+    import sys
+
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "540"))
+    env = dict(os.environ, KM_BENCH_CHILD="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        out = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
+        if out:
+            print(out[-1])
+            return
+        sys.stderr.write(proc.stderr[-2000:] + "\n")
+    except subprocess.TimeoutExpired:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "pairwise tps registrations/sec/chip "
+                f"at {os.environ.get('BENCH_SIZE', '256')}^3",
+                "value": 0.0,
+                "unit": "registrations/sec",
+                "vs_baseline": None,
+                "error": f"TPU tunnel unresponsive (no result within {timeout_s}s)",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("KM_BENCH_CHILD"):
+        main()
+    else:
+        main_with_watchdog()

@@ -167,6 +167,10 @@ def main(argv=None):
                 modality_datasets = {
                     mod: SingleDataset(lst, transform) for mod, lst in subs.items()
                 }
+        from keymorph_tpu.data import ThreadPrefetcher
+
+        # overlap NIfTI decode with device compute (single-core host)
+        train_loader = ThreadPrefetcher(train_loader, depth=2)
         epochs = config.epochs if not config.debug_mode else 2
         for epoch in range(start_epoch, epochs + 1):
             state, stats, rng_key = run_train(

@@ -6,3 +6,4 @@ from keymorph_tpu.data.datasets import (  # noqa: F401
     PairedDataset,
     SimpleDatasetIterator,
 )
+from keymorph_tpu.data.loader import ThreadPrefetcher, device_prefetch  # noqa: F401

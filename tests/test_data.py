@@ -220,3 +220,57 @@ def test_ixi_dataset_layout(tmp_path):
     assert subs["T1"][0].mask_path is not None
     assert subs["T1"][0].seg_path is None
     assert len(ds.get_subjects(train=False)["T1"]) == 1
+
+
+def test_thread_prefetcher_order_and_reuse():
+    from keymorph_tpu.data.loader import ThreadPrefetcher
+
+    loader = [1, 2, 3, 4]
+    pf = ThreadPrefetcher(loader, depth=2)
+    assert list(pf) == [1, 2, 3, 4]
+    assert list(pf) == [1, 2, 3, 4]  # re-iterable
+    assert len(pf) == 4
+
+
+def test_thread_prefetcher_propagates_errors():
+    from keymorph_tpu.data.loader import ThreadPrefetcher
+
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    class L:
+        def __iter__(self):
+            return gen()
+
+    pf = ThreadPrefetcher(L(), depth=1)
+    it = iter(pf)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+
+def test_device_prefetch_mapping():
+    from keymorph_tpu.data.loader import device_prefetch
+
+    pf = device_prefetch([1, 2, 3], to_device=lambda x: x * 10, depth=1)
+    assert list(pf) == [10, 20, 30]
+
+
+def test_prefetcher_overlaps_io(rng):
+    """Prefetch must overlap producer latency with consumer work."""
+    import time
+    from keymorph_tpu.data.loader import ThreadPrefetcher
+
+    class SlowLoader:
+        def __iter__(self):
+            for i in range(4):
+                time.sleep(0.05)  # IO
+                yield i
+
+    t0 = time.time()
+    for _ in ThreadPrefetcher(SlowLoader(), depth=2):
+        time.sleep(0.05)  # compute
+    overlapped = time.time() - t0
+    # serial would be ~0.4s; overlapped ~0.25s
+    assert overlapped < 0.35, f"no overlap: {overlapped:.2f}s"
