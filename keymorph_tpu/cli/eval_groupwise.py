@@ -53,8 +53,11 @@ def _save_group_subjects(loader, group_size, aug_params, seg_available,
             img_m = img_m[None]
         aff_m = np.asarray(subject["affine"])
         if seg_available:
-            n_cls = int(subject["seg"].max()) + 1
-            seg_m = U.one_hot(jnp.asarray(subject["seg"], jnp.int32), n_cls)
+            seg_raw = jnp.asarray(subject["seg"], jnp.int32)
+            if seg_raw.ndim == 4:  # unbatched (1, D, H, W) from SingleDataset
+                seg_raw = seg_raw[None]
+            n_cls = int(seg_raw.max()) + 1
+            seg_m = U.one_hot(seg_raw, n_cls)
         if aug_params is not None:
             key, sub = jax.random.split(key)
             if seg_available:

@@ -124,8 +124,19 @@ def main(argv=None):
 
     if args.groupwise:
         moving_paths = _gather_paths(args.moving)
-        subjects = [Subject(img_path=p, modality="group") for p in moving_paths]
-        ea.seg_available = False
+        if args.moving_seg:
+            seg_paths = _gather_paths(args.moving_seg)
+            assert len(seg_paths) == len(moving_paths), (
+                f"--moving_seg dir has {len(seg_paths)} files but --moving has "
+                f"{len(moving_paths)}; they pair by sorted order"
+            )
+        else:
+            seg_paths = [None] * len(moving_paths)
+        subjects = [
+            Subject(img_path=p, seg_path=s, modality="group")
+            for p, s in zip(moving_paths, seg_paths)
+        ]
+        ea.seg_available = args.moving_seg is not None
         loader = {"group": SingleDataset(subjects, transform)}
         metrics = run_group_eval(
             loader, model, args.list_of_metrics, ["group"], args.list_of_augs,
