@@ -101,9 +101,16 @@ def main(argv=None):
     example = jnp.zeros((1, 1, size, size, size), jnp.float32)
     model.init_params(jax.random.PRNGKey(args.seed), example)
     if args.load_path:
-        payload = ckpt.load_checkpoint(args.load_path)
-        model.params = jax.tree.map(jnp.asarray, payload["params"])
-        print(f"Loaded checkpoint {args.load_path}")
+        if args.load_path.endswith((".pt", ".pth", ".h5", ".pt.tar", ".tar")):
+            # reference (torch) checkpoint: import the backbone weights
+            from keymorph_tpu.tools.import_torch_weights import load_torch_backbone
+
+            model.params = load_torch_backbone(args.load_path, model.params)
+            print(f"Imported torch reference checkpoint {args.load_path}")
+        else:
+            payload = ckpt.load_checkpoint(args.load_path)
+            model.params = jax.tree.map(jnp.asarray, payload["params"])
+            print(f"Loaded checkpoint {args.load_path}")
     model.eval()
 
     save_dir = Path(args.save_dir)

@@ -91,15 +91,15 @@ def _norm_layer(norm_type: Optional[str], channels: int, dtype):
     if norm_type in (None, "none"):
         return None
     if norm_type == "instance":
-        # InstanceNorm = GroupNorm with one channel per group
-        return nn.GroupNorm(num_groups=None, group_size=1, dtype=dtype)
+        # InstanceNorm = GroupNorm with one channel per group (torch eps)
+        return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5, dtype=dtype)
     if norm_type == "batch":
         # stateless batch norm (per-batch statistics); medical registration
         # runs batch sizes of 1-4, instance/group norm is the practical choice
         return nn.BatchNorm(use_running_average=False, dtype=dtype)
     if norm_type == "group":
         groups = 8 if channels % 8 == 0 and channels >= 8 else 1
-        return nn.GroupNorm(num_groups=groups, dtype=dtype)
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype)
     raise NotImplementedError(f"norm_type={norm_type}")
 
 

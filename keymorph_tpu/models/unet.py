@@ -65,13 +65,19 @@ class SingleConv(nn.Module):
                 )(x)
             elif ch == "g":
                 c = x.shape[-1]
-                # largest group count <= num_groups that divides c (identical
-                # to the reference when c % num_groups == 0, which holds for
-                # the canonical f_maps=32 ladder; robust otherwise)
-                groups = next(
-                    g for g in range(min(self.num_groups, c), 0, -1) if c % g == 0
-                )
-                x = nn.GroupNorm(num_groups=groups, dtype=self.dtype)(x)
+                # reference rule (buildingblocks.py:66-72): one group when
+                # channels < num_groups, else num_groups; largest-divisor
+                # fallback only for channel counts the reference would reject
+                if c < self.num_groups:
+                    groups = 1
+                elif c % self.num_groups == 0:
+                    groups = self.num_groups
+                else:
+                    groups = next(
+                        g for g in range(self.num_groups, 0, -1) if c % g == 0
+                    )
+                # torch GroupNorm epsilon (flax defaults to 1e-6)
+                x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype)(x)
             elif ch == "b":
                 x = nn.BatchNorm(use_running_average=False, dtype=self.dtype)(x)
             elif ch == "r":
