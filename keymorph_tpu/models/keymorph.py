@@ -196,12 +196,26 @@ def align_pair(
         if compute_grid:
             B = points_f.shape[0]
             d = points_f.shape[-1]
-            n = int(np.prod(spatial))
-            grid_flat = jnp.broadcast_to(Coords.flat_norm_grid(spatial), (B, n, d))
-            moved = solvers.tps_eval_chunked(
-                inv_theta, points_f, grid_flat, num_chunks
-            )
-            out["grid"] = jnp.flip(moved.reshape(B, *spatial, d), axis=-1)
+            # chunked evaluation marks the inference path (training uses
+            # num_chunks=1 and needs autodiff); route it through the fused
+            # Pallas kernel on accelerators — the XLA lax.map path is ~150x
+            # slower on TPU (PERF.md)
+            if num_chunks > 1 and d == 3 and jax.default_backend() != "cpu":
+                from keymorph_tpu.ops.pallas import warp as _pw
+
+                planes = jax.vmap(
+                    lambda th, c: _pw.tps_flow_planes(th, c, spatial)
+                )(inv_theta, points_f)
+                out["grid"] = _pw.planes_to_grid(planes)
+            else:
+                n = int(np.prod(spatial))
+                grid_flat = jnp.broadcast_to(
+                    Coords.flat_norm_grid(spatial), (B, n, d)
+                )
+                moved = solvers.tps_eval_chunked(
+                    inv_theta, points_f, grid_flat, num_chunks
+                )
+                out["grid"] = jnp.flip(moved.reshape(B, *spatial, d), axis=-1)
         if compute_aligned_points:
             theta = solvers.fit_tps(points_m, points_f, lmbda, weights)
             out["points_a"] = solvers.tps_eval(theta, points_m, points_m)
