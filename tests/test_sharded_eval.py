@@ -54,11 +54,24 @@ def test_sharded_register_tps(setup):
 
 
 def test_sharded_groupwise_matches_single(setup):
+    """Sharded groupwise must reproduce the unsharded computation — the
+    meaningful property of a sharding test (convergence on untrained noise
+    keypoints is not guaranteed for affine fits)."""
     net, params, imgs_f, _ = setup
     config = Config(num_keypoints=8)
     mesh = make_mesh(num_devices=8, space=1)
     fn = make_sharded_groupwise_fn(net, config, mesh, transform_type="affine", num_iters=3)
     pts, aligned = fn(params, imgs_f)
     assert aligned.shape == (8, 8, 3)
-    spread = lambda p: float(np.mean(np.var(np.asarray(p), axis=0)))
-    assert spread(aligned) <= spread(pts) + 1e-7
+
+    # unsharded reference: same mean-registration loop on one device
+    ref_pts = net.apply(params, imgs_f, method=type(net).get_keypoints)
+    curr = ref_pts
+    for _ in range(3):
+        mean_b = jnp.broadcast_to(jnp.mean(curr, axis=0, keepdims=True), curr.shape)
+        curr = align_pair(
+            mean_b, curr, "affine", (), compute_grid=False,
+            compute_aligned_points=True,
+        )["points_a"]
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(ref_pts), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(curr), atol=5e-3)
