@@ -66,7 +66,7 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "256"))
     num_keypoints = int(os.environ.get("BENCH_KEYPOINTS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    impl_pref = os.environ.get("BENCH_IMPL", "fused")
+    impl_pref = os.environ.get("BENCH_IMPL", "xla")
 
     import jax
     import jax.numpy as jnp

@@ -197,10 +197,16 @@ def align_pair(
             B = points_f.shape[0]
             d = points_f.shape[-1]
             # chunked evaluation marks the inference path (training uses
-            # num_chunks=1 and needs autodiff); route it through the fused
-            # Pallas kernel on accelerators — the XLA lax.map path is ~150x
-            # slower on TPU (PERF.md)
-            if num_chunks > 1 and d == 3 and jax.default_backend() != "cpu":
+            # num_chunks=1 and needs autodiff). The Pallas kernel is an
+            # alternative implementation (opt-in: KM_USE_PALLAS_FLOW=1);
+            # device traces show XLA's fused chunk path is slightly faster
+            # (41.7 vs 71.8 ms at 256^3 — see PERF.md), so it is the default.
+            if (
+                os.environ.get("KM_USE_PALLAS_FLOW") == "1"
+                and num_chunks > 1
+                and d == 3
+                and jax.default_backend() != "cpu"
+            ):
                 from keymorph_tpu.ops.pallas import warp as _pw
 
                 planes = jax.vmap(
@@ -351,11 +357,14 @@ class KeyMorph:
             return self._align_cache[key]
 
         d = self.dim
-        # dense TPS flow goes through the fused Pallas kernel on TPU (the XLA
-        # chunked path is ~100x slower there); CPU keeps the XLA path (pallas
-        # interpret mode is test-only)
+        # the Pallas fused flow is an opt-in alternative (KM_USE_PALLAS_FLOW=1);
+        # XLA's fused chunk path measured slightly faster on device traces
+        # (PERF.md), so it is the default everywhere
         use_pallas_tps = (
-            align_type == "tps" and d == 3 and jax.default_backend() != "cpu"
+            os.environ.get("KM_USE_PALLAS_FLOW") == "1"
+            and align_type == "tps"
+            and d == 3
+            and jax.default_backend() != "cpu"
         )
 
         def _norm2real_matrix(aff, spatial):
