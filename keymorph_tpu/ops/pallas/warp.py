@@ -120,7 +120,9 @@ def tps_flow_planes(
         theta: (T+4, 3) spline params (from solvers.fit_tps, batch squeezed).
         ctrl: (T, 3) control points the spline was fitted with.
         spatial: (D, H, W) output grid shape.
-        tile: points per kernel invocation (multiple of 128).
+        tile: points per kernel invocation (multiple of 128; keep >= 2048 —
+            smaller tiles at large N trip a Mosaic scoped-VMEM OOM from
+            pipeline buffering).
         pre_matrix: optional (4, 4) homogeneous transform applied to grid
             points before spline evaluation (real-world mode's norm->real).
     Returns:
