@@ -258,7 +258,9 @@ def test_device_prefetch_mapping():
 
 
 def test_prefetcher_overlaps_io(rng):
-    """Prefetch must overlap producer latency with consumer work."""
+    """Prefetch must overlap producer latency with consumer work.
+    Compared against a measured serial baseline (not an absolute time) so a
+    loaded single-core host doesn't flake the test."""
     import time
     from keymorph_tpu.data.loader import ThreadPrefetcher
 
@@ -269,8 +271,13 @@ def test_prefetcher_overlaps_io(rng):
                 yield i
 
     t0 = time.time()
+    for _ in SlowLoader():
+        time.sleep(0.05)  # compute, serial baseline
+    serial = time.time() - t0
+
+    t0 = time.time()
     for _ in ThreadPrefetcher(SlowLoader(), depth=2):
         time.sleep(0.05)  # compute
     overlapped = time.time() - t0
-    # serial would be ~0.4s; overlapped ~0.25s
-    assert overlapped < 0.35, f"no overlap: {overlapped:.2f}s"
+    # perfect overlap ~0.62*serial; require clear improvement
+    assert overlapped < 0.9 * serial, f"no overlap: {overlapped:.2f}s vs serial {serial:.2f}s"
