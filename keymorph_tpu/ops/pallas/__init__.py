@@ -6,3 +6,7 @@ from keymorph_tpu.ops.pallas.warp import (  # noqa: F401
     affine_register_warp,
     planes_to_grid,
 )
+from keymorph_tpu.ops.pallas.resample3d import (  # noqa: F401
+    warp_grid,
+    warp_planes,
+)

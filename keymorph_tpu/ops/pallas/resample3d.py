@@ -1,0 +1,388 @@
+"""Gather-free trilinear 3D warp (Pallas TPU): the resampler-wall breaker.
+
+XLA's TPU ``gather`` runs at a flat ~116M elements/s, so the 8-corner
+formulation of ``grid_sample`` (reference keymorph/utils.py:14-21) costs
+``8 * N_voxels / 116M`` seconds — 145 ms at 128^3, ~1.16 s at 256^3, 67-85%
+of every registration (PERF.md "the resampler wall"). This kernel removes
+the gather entirely:
+
+  * The output volume is tiled into (BZ, BY, BX) blocks.
+  * Each kernel cell reads its flow block, takes the exact min/max of the
+    sample coordinates, and DMAs the bounded source band
+    ``src[z0:z0+DZ, y0:y0+YW, x0:x0+XW]`` into VMEM with *dynamic starts*.
+  * Trilinear interpolation becomes dense linear algebra on the band:
+
+        out[b]   = sum_r  OH[b, r] * band[r, x] * hat_x[b, x]
+        OH[b, r] = hat(rz(r) - zl_b) * hat(ry(r) - yl_b)     (4 nonzeros)
+
+    i.e. one (B_tile, DZ*YW) @ (DZ*YW, XW) matmul on the MXU plus a VPU
+    row-reduction — no indexed loads anywhere.
+
+Exactness contract: a cheap exact XLA prepass checks that every tile's
+coordinate span fits the static windows; ``lax.cond`` falls back to the XLA
+gather path otherwise (high-frequency or non-smooth flows). For smooth
+registration flows the windows (16, 32, 64) hold with large margin — a
+measured 128-keypoint TPS at lambda=0 with 15 deg rotation + 15% scale
+spans at most (16, 21, 43) per (4, 8, 32) tile.
+
+Semantics match ``ops.resample.grid_sample`` (torch ``grid_sample`` with
+padding_mode="border", align_corners=False) for mode in {bilinear, nearest};
+parity is tested against the torch-bit-parity XLA path.
+
+Autodiff: ``warp_planes`` carries a custom VJP whose backward pass is the
+XLA path's VJP (training gradients are unchanged; the kernel is the
+forward/inference fast path).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Output tile and source-band windows. Windows were sized from measured
+# per-tile spans of dense TPS flows (see module docstring); they must
+# satisfy span <= window for the kernel to be exact, which the prepass
+# verifies per call.
+_TILE = (4, 8, 32)  # (BZ, BY, BX) output voxels per kernel cell
+# (DZ, YW, XW) source band per cell. YW includes 8 rows of slack: the band's
+# y start must be sublane-aligned (large HBM memrefs are (8, 128)-tiled and
+# DMA offsets must respect the tiling), so y0 is rounded down to 8.
+_WIN = (16, 40, 64)
+
+
+_GROUP = 8  # sub-tiles per kernel cell (fills the output block's sublane dim)
+
+
+def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
+            pad_spatial, windows, channels, nearest):
+    """One cell = _GROUP output tiles: band DMAs + one-hot-matmul trilerp.
+
+    Layout note: every in-kernel array keeps voxels in LANES and small
+    structured dims (coords / band rows) in sublanes. Lane-minor (.., 3)
+    arrays would be tile-padded 3 -> 128 in HBM (8.6 GB at 256^3), and
+    voxel-major layouts would need sublane<->lane relayouts — this
+    transposed formulation needs neither.
+
+    planes_ref: (1, 3*_GROUP, B) — rows 3s..3s+2 are the (z, y, x) normalized
+                coords of sub-tile s, voxels in lanes.
+    src_ref:    (C, Z, Yp, Xp) in HBM — banded dynamic-start DMA only.
+    out_ref:    (1, _GROUP, C*B) — sub-tile s in sublane s, channel c in
+                lanes [c*B, (c+1)*B).
+    band:       (2, C, DZ, YW, Xp) double buffer: sub-tile s+1's DMA runs
+                while s computes.
+    """
+    Z, Y, X = src_spatial  # true dims: coordinate math and border clamping
+    _, Yp, Xp = pad_spatial  # HBM memref dims (lane/sublane aligned)
+    DZ, YW, XW = windows
+    R = DZ * YW
+    B = planes_ref.shape[2]
+
+    p = planes_ref[0].astype(jnp.float32)  # (3*_GROUP, B), ij-ordered
+    # unnormalize (align_corners=False) + border clamp, all sub-tiles at once
+    # (sizes built from iota: pallas kernels cannot capture constant arrays)
+    axis = jax.lax.broadcasted_iota(jnp.int32, (3 * _GROUP, 1), 0) % 3
+    sizes = jnp.where(
+        axis == 0, jnp.float32(Z), jnp.where(axis == 1, jnp.float32(Y), jnp.float32(X))
+    )
+    v = jnp.clip(((p + 1.0) * sizes - 1.0) * 0.5, 0.0, sizes - 1.0)
+    if nearest:
+        # torch nearest rounds the coordinate half-to-even; integral coords
+        # then hit a single one-hot lane below (frac == 0).
+        v = jnp.round(v)
+
+    def starts(s):
+        vz = v[3 * s : 3 * s + 1]  # (1, B)
+        vy = v[3 * s + 1 : 3 * s + 2]
+        vx = v[3 * s + 2 : 3 * s + 3]
+        z0 = jnp.clip(jnp.floor(jnp.min(vz)).astype(jnp.int32), 0, max(Z - DZ, 0))
+        # y start sublane-aligned (Yp % 8 == 0 keeps the upper clamp aligned)
+        y0 = jnp.clip(
+            (jnp.floor(jnp.min(vy)).astype(jnp.int32) // 8) * 8,
+            0,
+            max(Yp - YW, 0),
+        )
+        y0 = pl.multiple_of(y0, 8)
+        x0 = jnp.clip(jnp.floor(jnp.min(vx)).astype(jnp.int32), 0, max(Xp - XW, 0))
+        return vz, vy, vx, z0, y0, x0
+
+    def dma(s, slot, z0, y0):
+        # slices z (untiled) and y (sublane dim, start kept 8-aligned)
+        # dynamically; the lane dim X must come whole (HBM memrefs are
+        # lane-tiled and DMA slices along lanes must be tile-aligned) —
+        # x is windowed in VMEM with a dynamic lane rotate instead.
+        return pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(z0, DZ), pl.ds(y0, YW), :],
+            band.at[slot],
+            sem.at[slot],
+        )
+
+    st = [starts(s) for s in range(_GROUP)]
+    dma(0, 0, st[0][3], st[0][4]).start()
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    rz = (r // YW).astype(jnp.float32)
+    ry = (r % YW).astype(jnp.float32)
+    cxi = jax.lax.broadcasted_iota(jnp.int32, (XW, 1), 0).astype(jnp.float32)
+
+    for s in range(_GROUP):
+        vz, vy, vx, z0, y0, x0 = st[s]
+        slot = s % 2
+        if s + 1 < _GROUP:
+            dma(s + 1, (s + 1) % 2, st[s + 1][3], st[s + 1][4]).start()
+
+        zl = vz - z0.astype(jnp.float32)  # (1, B)
+        yl = vy - y0.astype(jnp.float32)
+        xl = vx - x0.astype(jnp.float32)
+        # hat(t) = max(0, 1 - |t|): exactly the two trilinear corner weights
+        oh = jnp.maximum(0.0, 1.0 - jnp.abs(rz - zl)) * jnp.maximum(
+            0.0, 1.0 - jnp.abs(ry - yl)
+        )  # (R, B)
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(cxi - xl))  # (XW, B)
+
+        dma(s, slot, z0, y0).wait()
+        for c in range(channels):
+            band2 = band[slot, c].reshape(R, Xp).astype(jnp.float32)
+            if XW < Xp:
+                band2 = pltpu.roll(band2, -x0, 1)[:, :XW]
+            # contract band rows against one-hot rows: (R,XW)x(R,B)->(XW,B)
+            tmp = jax.lax.dot_general(
+                band2,
+                oh,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            o = jnp.sum(tmp * hx, axis=0, keepdims=True)  # (1, B)
+            out_ref[0, s : s + 1, c * B : (c + 1) * B] = o
+
+
+def _tile_planes(planes, tile):
+    """(3, D, H, W) -> (T//_GROUP, 3*_GROUP, B): voxels in lanes."""
+    BZ, BY, BX = tile
+    D, H, W = (int(s) for s in planes.shape[1:])
+    B = BZ * BY * BX
+    p = planes.reshape(3, D // BZ, BZ, H // BY, BY, W // BX, BX)
+    p = jnp.transpose(p, (1, 3, 5, 0, 2, 4, 6))  # (tz, ty, tx, 3, BZ, BY, BX)
+    return p.reshape(-1, 3 * _GROUP, B)
+
+
+def _untile_output(out_tiled, out_spatial, tile, channels):
+    """(T//_GROUP, _GROUP, C*B) -> (C, D, H, W)."""
+    BZ, BY, BX = tile
+    D, H, W = out_spatial
+    o = out_tiled.reshape(
+        D // BZ, H // BY, W // BX, channels, BZ, BY, BX
+    )
+    o = jnp.transpose(o, (3, 0, 4, 1, 5, 2, 6))
+    return o.reshape(channels, D, H, W)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _warp_pallas(img, planes, *, nearest, interpret):
+    """(C, Z, Y, X) x (3, D, H, W) -> (C, D, H, W); caller checked shapes."""
+    C = img.shape[0]
+    src_spatial = tuple(int(s) for s in img.shape[1:])
+    out_spatial = tuple(int(s) for s in planes.shape[1:])
+    BZ, BY, BX = _TILE
+    B = BZ * BY * BX
+
+    # The band DMA needs a lane-aligned X (whole rows are copied) and a
+    # sublane-aligned Y start; pad the source once so any true size works.
+    # Border clamping keeps every sample inside the true region, so the pad
+    # contents are never weighted.
+    Z, Y, X = src_spatial
+    pad_spatial = (Z, _round_up(Y, 8), _round_up(X, 128))
+    if pad_spatial != src_spatial:
+        img = jnp.pad(
+            img,
+            [(0, 0), (0, 0), (0, pad_spatial[1] - Y), (0, pad_spatial[2] - X)],
+        )
+    DZ = min(_WIN[0], Z)
+    YW = min(_WIN[1], pad_spatial[1])
+    XW = min(_WIN[2], pad_spatial[2])
+    num_tiles = (
+        (out_spatial[0] // BZ) * (out_spatial[1] // BY) * (out_spatial[2] // BX)
+    )
+    planes_t = _tile_planes(planes.astype(jnp.float32), _TILE)
+
+    out_tiled = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            src_spatial=src_spatial,
+            pad_spatial=pad_spatial,
+            windows=(DZ, YW, XW),
+            channels=C,
+            nearest=nearest,
+        ),
+        grid=(num_tiles // _GROUP,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3 * _GROUP, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # src stays in HBM; banded DMA
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _GROUP, C * B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles // _GROUP, _GROUP, C * B), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, DZ, YW, pad_spatial[2]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(planes_t, img.astype(jnp.float32))
+    return _untile_output(out_tiled, out_spatial, _TILE, C)
+
+
+def _tile_spans_fit(planes, src_spatial, *, nearest):
+    """Exact XLA prepass: does every tile's coordinate span fit the windows?
+
+    planes: (3, D, H, W). Returns a scalar bool. Pure reductions — no gather.
+    """
+    D, H, W = (int(s) for s in planes.shape[1:])
+    BZ, BY, BX = _TILE
+    p = planes.astype(jnp.float32).reshape(3, D // BZ, BZ, H // BY, BY, W // BX, BX)
+    sizes = jnp.asarray(src_spatial, jnp.float32).reshape(3, 1, 1, 1)
+    v = ((p + 1.0) * sizes[..., None, None, None] - 1.0) * 0.5
+    v = jnp.clip(
+        v, 0.0, (sizes - 1.0)[..., None, None, None]
+    )
+    if nearest:
+        v = jnp.round(v)
+    vmin = jnp.min(v, axis=(2, 4, 6))  # (3, tz, ty, tx)
+    vmax = jnp.max(v, axis=(2, 4, 6))
+    lo = jnp.floor(vmin)
+    # the kernel rounds the y band start down to a sublane multiple of 8
+    lo = lo.at[1].set(jnp.floor(lo[1] / 8.0) * 8.0)
+    span = jnp.ceil(vmax) - lo + 1.0
+    Z, Y, X = src_spatial
+    wins = jnp.asarray(
+        [
+            min(_WIN[0], Z),
+            min(_WIN[1], _round_up(Y, 8)),
+            min(_WIN[2], _round_up(X, 128)),
+        ],
+        jnp.float32,
+    ).reshape(3, 1, 1, 1)
+    return jnp.all(span <= wins)
+
+
+def _shapes_eligible(img_shape, out_spatial):
+    """Static check: can the kernel be instantiated for these shapes?"""
+    BZ, BY, BX = _TILE
+    D, H, W = out_spatial
+    Z, Y, X = img_shape[2:]
+    num_tiles = (D // BZ) * (H // BY) * (W // BX) if min(D, H, W) > 0 else 0
+    return (
+        D % BZ == 0
+        and H % BY == 0
+        and W % BX == 0
+        and num_tiles % _GROUP == 0
+        and min(Z, D) >= BZ
+        and min(Y, H) >= BY
+        and min(X, W) >= BX
+    )
+
+
+def fast_warp_enabled():
+    """The kernel is the default on TPU; KM_NO_FAST_WARP=1 restores the XLA
+    gather path, KM_FORCE_FAST_WARP=1 exercises the kernel (interpreted) on
+    CPU for tests."""
+    if os.environ.get("KM_NO_FAST_WARP") == "1":
+        return False
+    if os.environ.get("KM_FORCE_FAST_WARP") == "1":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def _xla_warp(img, planes, mode):
+    from keymorph_tpu.ops.pallas.warp import grid_sample_planes
+
+    return grid_sample_planes(img, planes, mode=mode)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _warp(mode, img, planes):
+    return _warp_planes_fwd_impl(img, planes, mode)
+
+
+def _warp_planes_fwd_impl(img, planes, mode):
+    out_spatial = tuple(int(s) for s in planes.shape[2:])
+    if (
+        not fast_warp_enabled()
+        or mode not in ("bilinear", "nearest")
+        or img.ndim != 5
+        or planes.shape[1] != 3
+        or not _shapes_eligible(img.shape, out_spatial)
+    ):
+        return _xla_warp(img, planes, mode)
+
+    nearest = mode == "nearest"
+    interpret = jax.default_backend() == "cpu"
+    B, C = img.shape[:2]
+
+    outs = []
+    for b in range(B):  # B is 1 on the serving path; small unroll otherwise
+        fits = _tile_spans_fit(planes[b], img.shape[2:], nearest=nearest)
+        outs.append(
+            jax.lax.cond(
+                fits,
+                lambda im, pe: _warp_pallas(
+                    im, pe, nearest=nearest, interpret=interpret
+                ).astype(img.dtype),
+                lambda im, pe: _xla_warp(im[None], pe[None], mode)[0],
+                img[b],
+                planes[b],
+            )
+        )
+    return jnp.stack(outs, axis=0)
+
+
+def _warp_planes_fwd(mode, img, planes):
+    return _warp_planes_fwd_impl(img, planes, mode), (img, planes)
+
+
+def _warp_planes_bwd(mode, res, g):
+    # gradients flow through the XLA path: identical values (both paths
+    # compute the same function), and the gather VJP (scatter-add) is the
+    # only TPU lowering available for the transpose today
+    img, planes = res
+    _, vjp = jax.vjp(lambda im, pe: _xla_warp(im, pe, mode), img, planes)
+    return vjp(g)
+
+
+_warp.defvjp(_warp_planes_fwd, _warp_planes_bwd)
+
+
+def warp_planes(img, planes, mode="bilinear"):
+    """Trilinear/nearest warp from `ij`-ordered coordinate planes.
+
+    Drop-in for ``ops.pallas.warp.grid_sample_planes`` (same border /
+    align_corners=False semantics; reference keymorph/utils.py:14-21) with
+    the gather-free Pallas kernel on the eligible path and the XLA gather
+    path as exactness fallback.
+
+    Args:
+        img: (B, C, Z, Y, X)
+        planes: (B, 3, D, H, W) normalized [-1, 1] coords, plane a indexes
+            spatial axis a of img.
+    Returns:
+        (B, C, D, H, W), dtype of img.
+    """
+    return _warp(mode, img, planes)
+
+
+def warp_grid(img, grid, mode="bilinear"):
+    """Warp from the reference's xy-ordered (B, D, H, W, 3) grid contract."""
+    planes = jnp.flip(jnp.moveaxis(grid, -1, 1), axis=1)
+    return warp_planes(img, planes, mode)

@@ -261,6 +261,12 @@ def tps_register_warp(theta, ctrl, img_m, out_spatial=None, mode="bilinear",
     flow = jax.vmap(lambda th, c: tps_flow_planes(th, c, out_spatial, tile))(
         theta, ctrl
     )
+    from keymorph_tpu.ops.pallas import resample3d
+
+    if resample3d.fast_warp_enabled() and resample3d._shapes_eligible(
+        img_m.shape, out_spatial
+    ):
+        return resample3d.warp_planes(img_m, flow, mode), flow
     return grid_sample_planes(img_m, flow, mode=mode), flow
 
 
@@ -268,6 +274,12 @@ def affine_register_warp(inverse_matrix, img_m, out_spatial=None, mode="bilinear
     """Fused inference path for affine/rigid: flow planes -> plane resample."""
     out_spatial = tuple(out_spatial or img_m.shape[2:])
     flow = jax.vmap(lambda m: affine_flow_planes(m, out_spatial))(inverse_matrix)
+    from keymorph_tpu.ops.pallas import resample3d
+
+    if resample3d.fast_warp_enabled() and resample3d._shapes_eligible(
+        img_m.shape, out_spatial
+    ):
+        return resample3d.warp_planes(img_m, flow, mode), flow
     return grid_sample_planes(img_m, flow, mode=mode), flow
 
 

@@ -52,6 +52,17 @@ def grid_sample(img, grid, mode="bilinear"):
     out_spatial = grid.shape[1:-1]
     B, C = img.shape[:2]
 
+    if d == 3 and mode in ("bilinear", "nearest"):
+        # the gather-free Pallas path (TPU default; ~8-12x the XLA gather
+        # formulation, see ops/pallas/resample3d.py). Exactness-checked per
+        # call; ineligible shapes and wild flows fall through to the gather.
+        from keymorph_tpu.ops.pallas import resample3d
+
+        if resample3d.fast_warp_enabled() and resample3d._shapes_eligible(
+            img.shape, tuple(int(s) for s in out_spatial)
+        ):
+            return resample3d.warp_grid(img, grid, mode)
+
     compute_dtype = jnp.promote_types(img.dtype, jnp.float32)
     grid = grid.astype(compute_dtype)
 

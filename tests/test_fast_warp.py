@@ -1,0 +1,150 @@
+"""Parity tests for the gather-free Pallas warp (ops/pallas/resample3d.py).
+
+The kernel runs in interpret mode on CPU (KM_FORCE_FAST_WARP=1) against the
+XLA gather path — which itself is bit-parity-tested against torch
+grid_sample in test_resample.py — so these transitively pin the reference
+semantics (border padding, align_corners=False)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from keymorph_tpu.ops.pallas import resample3d
+from keymorph_tpu.ops.pallas.warp import grid_sample_planes
+
+
+@pytest.fixture(autouse=True)
+def _force_fast_warp(monkeypatch):
+    monkeypatch.setenv("KM_FORCE_FAST_WARP", "1")
+
+
+def _smooth_planes(rng, out_spatial, amp=0.05):
+    axes = [np.linspace(-1, 1, s) for s in out_spatial]
+    zz, yy, xx = np.meshgrid(*axes, indexing="ij")
+    pz = zz + amp * np.sin(2.5 * yy + 1.0) - amp * 0.5 * np.cos(2.0 * xx)
+    py = yy + amp * np.cos(3.0 * zz) + amp * 0.4 * np.sin(2.0 * xx + 0.3)
+    px = xx - amp * np.sin(2.0 * zz + 0.7) + amp * 0.6 * np.cos(2.5 * yy)
+    return np.stack([pz, py, px]).astype(np.float32)[None]
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_parity_smooth_flow(rng, mode):
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes), mode)
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes), mode=mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_identity_flow_parity(rng):
+    """linspace identity planes (not an exact copy under align_corners=False)."""
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32), amp=0.0)
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_exact_voxel_centers_copy(rng):
+    """Planes hitting exact voxel centers reproduce the source exactly."""
+    S = 32
+    idx = np.arange(S, dtype=np.float32)
+    c = (2.0 * idx + 1.0) / S - 1.0  # voxel centers under align_corners=False
+    zz, yy, xx = np.meshgrid(c, c, c, indexing="ij")
+    planes = np.stack([zz, yy, xx]).astype(np.float32)[None]
+    src = rng.random((1, 1, S, S, S), dtype=np.float32)
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), src, atol=2e-6)
+
+
+def test_border_clamp_far_outside(rng):
+    """Flow pointing far outside [-1, 1] must clamp like the XLA path."""
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    planes = planes * 3.0 - 1.5  # large offsets, many voxels out of range
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_fallback_on_high_frequency_flow(rng):
+    """Spans exceeding the windows must take the exact XLA fallback branch."""
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    zz = np.linspace(-1, 1, 32)
+    planes[0, 0] += 0.9 * np.sin(40.0 * zz)[None, :, None]  # wild z-flow
+    fits = resample3d._tile_spans_fit(
+        jnp.asarray(planes[0]), (32, 32, 32), nearest=False
+    )
+    assert not bool(fits)
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_channels_and_batch(rng):
+    src = rng.random((2, 3, 32, 32, 32), dtype=np.float32)
+    planes = np.concatenate(
+        [_smooth_planes(rng, (32, 32, 32)), _smooth_planes(rng, (32, 32, 32), 0.08)]
+    )
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    assert out.shape == (2, 3, 32, 32, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_out_spatial_differs_from_src(rng):
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (16, 16, 64))
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    assert out.shape == (1, 1, 16, 16, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_ineligible_shapes_fall_back(rng):
+    """Non-tile-divisible shapes route to XLA statically (no kernel)."""
+    src = rng.random((1, 1, 18, 18, 18), dtype=np.float32)
+    planes = _smooth_planes(rng, (18, 18, 18))
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_grad_matches_xla_path(rng):
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+
+    def loss_fast(im, pe):
+        return jnp.sum(resample3d.warp_planes(im, pe) ** 2)
+
+    def loss_xla(im, pe):
+        return jnp.sum(grid_sample_planes(im, pe) ** 2)
+
+    g_fast = jax.grad(loss_fast, argnums=(0, 1))(jnp.asarray(src), jnp.asarray(planes))
+    g_xla = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(src), jnp.asarray(planes))
+    for a, b in zip(g_fast, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_warp_grid_contract(rng):
+    """xy-ordered grid entrypoint matches ops.resample.grid_sample."""
+    from keymorph_tpu.ops.resample import grid_sample
+
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    grid = np.flip(np.moveaxis(planes, 1, -1), axis=-1).copy()
+    out = resample3d.warp_grid(jnp.asarray(src), jnp.asarray(grid))
+    ref = grid_sample(jnp.asarray(src), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_jit_and_cond_compose(rng):
+    """The cond(fits) dispatch must trace cleanly under jit."""
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    f = jax.jit(lambda im, pe: resample3d.warp_planes(im, pe))
+    out = f(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
