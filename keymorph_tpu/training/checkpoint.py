@@ -54,7 +54,12 @@ def latest_epoch_checkpoint(directory: str) -> Optional[str]:
 def load_checkpoint(path: str, state_template=None):
     """Load a checkpoint. With a template (a TrainState of matching
     structure), arrays restore to matching dtypes/shardings; otherwise raw
-    numpy is returned. Returns the payload dict."""
+    numpy is returned. Returns the payload dict.
+
+    The on-disk key set is read from checkpoint metadata (a pretrain
+    checkpoint carries `ref_points`, a train one doesn't) so the restore
+    template always matches; a genuinely corrupt or structurally
+    incompatible checkpoint raises instead of being silently degraded."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if state_template is not None:
@@ -64,9 +69,8 @@ def load_checkpoint(path: str, state_template=None):
             "step": np.asarray(state_template.step),
             "epoch": np.asarray(0),
         }
-        try:
-            return ckptr.restore(path, template)
-        except BaseException:
-            # fall through to raw restore (e.g. checkpoint carries ref_points)
-            pass
+        on_disk = ckptr.metadata(path).item_metadata.tree
+        if "ref_points" in on_disk:
+            template["ref_points"] = np.zeros(on_disk["ref_points"].shape)
+        return ckptr.restore(path, template)
     return ckptr.restore(path)

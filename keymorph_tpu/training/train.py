@@ -257,9 +257,6 @@ def make_train_step_sameres(net: KeyMorphNet, config: Config, tx=None):
 # canonical helper lives in keymorph_tpu.utils (shared with the CLI layer)
 from keymorph_tpu.utils import aggregate_dicts  # noqa: E402
 
-# per-step-fn one-hot channel-count pins (see run_train's dice branch)
-_N_CLS_CACHE: Dict[int, Optional[int]] = {}
-
 
 def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key,
               kp_step_fn=None, modality_datasets=None):
@@ -323,9 +320,12 @@ def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key,
                 # max would change the jitted step's signature every time a
                 # new label ceiling appears (full XLA recompile per count)
                 batch_max = int(max(b_f["seg"].max(), b_m["seg"].max())) + 1
-                if _N_CLS_CACHE.get(id(step_fn)) is None:
-                    _N_CLS_CACHE[id(step_fn)] = batch_max
-                n_cls = _N_CLS_CACHE[id(step_fn)]
+                # the pin lives on the step fn itself (not a module-global
+                # keyed by id(): id-reuse after GC could inherit a stale count)
+                n_cls = getattr(step_fn, "_n_cls_pin", None)
+                if n_cls is None:
+                    n_cls = batch_max
+                    step_fn._n_cls_pin = n_cls
                 if batch_max > n_cls:
                     print(
                         f"WARNING: labels >= {n_cls} clipped (set "

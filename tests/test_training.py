@@ -1,6 +1,8 @@
 """Training subsystem tests: step convergence, pretrain, checkpointing,
 multi-chip sharding on the virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -110,6 +112,45 @@ def test_checkpoint_roundtrip(tmp_path, tiny_state):
     assert int(restored["epoch"]) == 5
     for a, b in zip(jax.tree.leaves(restored["params"]), jax.tree.leaves(state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip_with_ref_points(tmp_path, tiny_state):
+    """Pretrain checkpoints carry ref_points; the templated restore must
+    include them (metadata-driven template, not exception fallback)."""
+    net, config, state, tx = tiny_state
+    ref = np.linspace(-0.5, 0.5, 24).reshape(1, 8, 3).astype(np.float32)
+    path = ckpt.save_checkpoint(str(tmp_path), 3, state, ref_points=ref)
+    restored = ckpt.load_checkpoint(path, state_template=state)
+    np.testing.assert_allclose(np.asarray(restored["ref_points"]), ref)
+    assert int(restored["epoch"]) == 3
+
+
+def test_checkpoint_corrupt_raises(tmp_path, tiny_state):
+    """A structurally broken checkpoint must raise, not silently degrade
+    (the round-1 BaseException catch masked corruption)."""
+    net, config, state, tx = tiny_state
+    path = ckpt.save_checkpoint(str(tmp_path), 1, state)
+    # destroy the array payload but keep the directory shape plausible
+    import shutil
+
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+        else:
+            os.remove(full)
+    with pytest.raises(Exception):
+        ckpt.load_checkpoint(path, state_template=state)
+
+
+def test_onehot_pin_is_per_step_fn(tiny_state):
+    """The one-hot channel pin lives on the step fn, so a new run's step fn
+    never inherits a stale count (the round-1 id()-keyed cache could)."""
+    net, config, state, tx = tiny_state
+    s1 = make_train_step(net, config, tx)
+    s2 = make_train_step(net, config, tx)
+    s1._n_cls_pin = 7
+    assert getattr(s2, "_n_cls_pin", None) is None
 
 
 def test_checkpoint_latest_picks_max(tmp_path, tiny_state):
