@@ -43,7 +43,14 @@ def _duplicate_files_to_N(directory, N=4):
 
 def _save_group_subjects(loader, group_size, aug_params, seg_available,
                          groupimg_m_dir, groupseg_m_dir, rng_seed=0):
-    """Stream <= group_size subjects: augment, save img+aff (and seg) npz."""
+    """Stream <= group_size subjects: augment, save img+aff (and seg) npz.
+
+    The loader is wrapped in a background prefetch so the next subject's
+    NIfTI decode overlaps the current subject's on-device augmentation."""
+    from keymorph_tpu.data import ThreadPrefetcher
+
+    if not isinstance(loader, ThreadPrefetcher):
+        loader = ThreadPrefetcher(loader, depth=2)
     key = jax.random.PRNGKey(rng_seed)
     for i, subject in enumerate(loader):
         if i == group_size:

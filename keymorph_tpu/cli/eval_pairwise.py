@@ -7,13 +7,22 @@ metrics + .npy artifacts with the reference's exact layout and key scheme
 
 The reference's jdlessthan0 copy-paste bug (it computed jdstd;
 pairwise_register_eval.py:345) is fixed here.
+
+Multi-chip fan-out (SURVEY §2.5 "the highest-value DP axis"): pass ``mesh``
+(and optionally ``batch_pairs``) to batch pairs along the leading axis and
+shard them over the mesh's 'data' axis — one keypoint-extraction dispatch
+and one warp dispatch per ``batch_pairs`` pairs instead of per pair. With
+``batch_pairs=1`` (the default, no mesh) behavior and artifacts are
+identical to the sequential harness.
 """
 
 from __future__ import annotations
 
 import os
+import time
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +48,54 @@ def _build_metric_dict(list_of_eval_metrics, list_of_eval_augs, list_of_eval_ali
     return {k: [] for k in keys}
 
 
+def _metrics_for_pair(
+    list_of_eval_metrics, args, seg_available, img_f, img_a, seg_f, seg_a, grid
+):
+    """Metric suite for ONE pair (all arrays batch-1 slices).
+
+    Parity: reference pairwise_register_eval.py:302-347.
+    """
+    if seg_available:
+        dice_total = 1.0 - float(M.DiceLoss(hard=True)(seg_a, seg_f, ign_first_ch=True))
+        dice_roi = (
+            1.0
+            - np.asarray(
+                M.DiceLoss(hard=True, return_regions=True)(
+                    seg_a, seg_f, ign_first_ch=True
+                )
+            )
+        ).tolist()
+
+    metrics = {}
+    for m in list_of_eval_metrics:
+        if m == "mse":
+            metrics["mse"] = float(M.MSELoss()(img_f, img_a))
+        elif m == "softdice":
+            assert seg_available
+            metrics["softdiceloss"] = float(M.DiceLoss()(seg_a, seg_f))
+            metrics["softdice"] = 1 - metrics["softdiceloss"]
+        elif m == "harddice":
+            assert seg_available
+            metrics["harddice"] = dice_total
+        elif m == "harddiceroi":
+            assert seg_available
+            metrics["harddiceroi"] = dice_roi
+        elif m == "hausd":
+            assert seg_available and args.dim == 3
+            metrics["hausd"] = float(M.hausdorff_distance(seg_a, seg_f))
+        elif m == "jdstd":
+            assert args.dim == 3
+            grid_permute = jnp.moveaxis(grid, -1, 1)
+            metrics["jdstd"] = M.jdstd(grid_permute)
+        elif m == "jdlessthan0":
+            assert args.dim == 3
+            grid_permute = jnp.moveaxis(grid, -1, 1)
+            metrics["jdlessthan0"] = M.jdlessthan0(grid_permute, as_percentage=True)
+        else:
+            raise ValueError(f'Invalid metric "{m}"')
+    return metrics
+
+
 def run_eval(
     loader,
     registration_model,
@@ -48,6 +105,8 @@ def run_eval(
     list_of_eval_aligns,
     args,
     save_dir_prefix="eval",
+    mesh=None,
+    batch_pairs=None,
 ):
     """Returns the test_metrics dict keyed ``metric:mod1:mod2:aug:align``."""
     test_metrics = _build_metric_dict(
@@ -55,7 +114,190 @@ def run_eval(
     )
     seg_available = getattr(args, "seg_available", False)
 
+    if batch_pairs is None:
+        batch_pairs = int(mesh.shape["data"]) if mesh is not None else 1
+    if mesh is not None:
+        assert batch_pairs % int(mesh.shape["data"]) == 0, (
+            f"batch_pairs={batch_pairs} must be a multiple of the mesh 'data' "
+            f"axis ({mesh.shape['data']})"
+        )
+    batch_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("data"))
+
+    def _flush(pending):
+        """Register + score a buffer of pending pairs for every aug."""
+        for aug in list_of_eval_augs:
+            param = parse_test_aug(aug)
+            # split buffer into already-completed (load) vs to-compute
+            work = []
+            for entry in pending:
+                if args.skip_if_completed and all(
+                    p.exists() for p in entry["metrics_paths"][aug].values()
+                ):
+                    print("Found metrics for all alignments, skipping registration...")
+                    all_metrics = {
+                        k: load_dict_from_json(v)
+                        for k, v in entry["metrics_paths"][aug].items()
+                    }
+                    _record(entry, aug, all_metrics)
+                else:
+                    work.append(entry)
+            if not work:
+                continue
+
+            n_work = len(work)
+            pad = [work[-1]] * (batch_pairs - n_work)
+            batch = work + pad
+
+            img_f = jnp.concatenate([e["img_f"] for e in batch], axis=0)
+            img_m = jnp.concatenate([e["img_m"] for e in batch], axis=0)
+            aff_f = jnp.concatenate([e["aff_f"] for e in batch], axis=0)
+            aff_m = jnp.concatenate([e["aff_m"] for e in batch], axis=0)
+            if seg_available:
+                # one-hot to the batch-wide ceiling; per-pair channel slices
+                # below recover exactly the pair's own label set (the extra
+                # channels are identically zero through the linear warp)
+                n_cls_list = [e["n_cls"] for e in batch]
+                n_max = max(n_cls_list)
+                seg_f = jnp.concatenate(
+                    [U.one_hot(jnp.asarray(e["seg_f"], jnp.int32), n_max) for e in batch],
+                    axis=0,
+                )
+                seg_m = jnp.concatenate(
+                    [U.one_hot(jnp.asarray(e["seg_m"], jnp.int32), n_max) for e in batch],
+                    axis=0,
+                )
+
+            # explicit eval-time augmentation of the moving image
+            if seg_available:
+                img_m, seg_m = affine_augment(img_m, param, seg=seg_m)
+            else:
+                img_m = affine_augment(img_m, param)
+
+            if batch_sh is not None:
+                img_f = jax.device_put(img_f, batch_sh)
+                img_m = jax.device_put(img_m, batch_sh)
+                if seg_available:
+                    seg_f = jax.device_put(seg_f, batch_sh)
+                    seg_m = jax.device_put(seg_m, batch_sh)
+
+            t0 = time.time()
+            results = registration_model(
+                img_f,
+                img_m,
+                transform_type=list(list_of_eval_aligns),
+                return_aligned_points=True,
+                aff_f=aff_f,
+                aff_m=aff_m,
+            )
+
+            # warp once per align over the whole batch, then score per pair
+            warped = {}
+            for align, res in results.items():
+                grid = res["grid"]
+                img_a = align_img(grid, img_m)
+                seg_a = align_img(grid, seg_m) if seg_available else None
+                warped[align] = (grid, img_a, seg_a)
+            jax.block_until_ready([w[1] for w in warped.values()])
+            batch_time = time.time() - t0
+
+            for j, entry in enumerate(work):
+                sl = slice(j, j + 1)
+                img_f_j, img_m_j = img_f[sl], img_m[sl]
+                if seg_available:
+                    n_cls_j = entry["n_cls"]
+                    seg_f_j = seg_f[sl, :n_cls_j]
+                    seg_m_j = seg_m[sl, :n_cls_j]
+                _save_pair_common(
+                    entry, aug, img_f_j, img_m_j,
+                    seg_f_j if seg_available else None,
+                    seg_m_j if seg_available else None,
+                )
+
+                all_metrics = {}
+                for align, res in results.items():
+                    grid, img_a, seg_a = warped[align]
+                    grid_j, img_a_j = grid[sl], img_a[sl]
+                    seg_a_j = seg_a[sl, :n_cls_j] if seg_available else None
+                    metrics = _metrics_for_pair(
+                        list_of_eval_metrics, args, seg_available,
+                        img_f_j, img_a_j,
+                        seg_f_j if seg_available else None, seg_a_j, grid_j,
+                    )
+                    all_metrics[align] = metrics
+                    print(
+                        f"-> {align}: time={batch_time / n_work:.3f}s", metrics
+                    )
+                    save_dict_as_json(metrics, entry["metrics_paths"][aug][align])
+                    _save_pair_align(
+                        entry, aug, align, res, sl, grid_j, img_a_j, seg_a_j
+                    )
+                _record(entry, aug, all_metrics)
+
+    def _record(entry, aug, all_metrics):
+        mod1, mod2 = entry["mod1"], entry["mod2"]
+        for m in list_of_eval_metrics:
+            for align in list_of_eval_aligns:
+                test_metrics[f"{m}:{mod1}:{mod2}:{aug}:{align}"].append(
+                    all_metrics[align][m]
+                )
+
+    def _save_pair_common(entry, aug, img_f, img_m, seg_f, seg_m):
+        i, mod1_str, mod2_str = entry["i"], entry["mod1_str"], entry["mod2_str"]
+        save_dir = entry["save_dir"]
+        np.save(save_dir / f"img_f_{i}-{mod1_str}.npy", np.asarray(img_f[0]))
+        np.save(save_dir / f"img_m_{i}-{mod2_str}-{aug}.npy", np.asarray(img_m[0]))
+        if seg_f is not None:
+            np.save(
+                save_dir / f"seg_f_{i}-{mod1_str}.npy",
+                np.argmax(np.asarray(seg_f), axis=1),
+            )
+            np.save(
+                save_dir / f"seg_m_{i}-{mod2_str}-{aug}.npy",
+                np.argmax(np.asarray(seg_m), axis=1),
+            )
+
+    def _save_pair_align(entry, aug, align, res, sl, grid_j, img_a_j, seg_a_j):
+        i, mod1_str, mod2_str = entry["i"], entry["mod1_str"], entry["mod2_str"]
+        save_dir = entry["save_dir"]
+        np.save(
+            save_dir / f"img_a_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
+            np.asarray(img_a_j[0]),
+        )
+        np.save(
+            save_dir / f"grid_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
+            np.asarray(grid_j[0]),
+        )
+        if seg_a_j is not None:
+            np.save(
+                save_dir / f"seg_a_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
+                np.argmax(np.asarray(seg_a_j), axis=1),
+            )
+        if res.get("points_f") is not None:
+            np.save(
+                save_dir / f"points_f_{i}-{mod1_str}.npy",
+                np.asarray(res["points_f"][sl][0]),
+            )
+            np.save(
+                save_dir / f"points_m_{i}-{mod2_str}-{aug}.npy",
+                np.asarray(res["points_m"][sl][0]),
+            )
+            np.save(
+                save_dir / f"points_a_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
+                np.asarray(res["points_a"][sl][0]),
+            )
+            if res.get("points_weights") is not None:
+                np.save(
+                    save_dir
+                    / f"points_weights_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
+                    np.asarray(res["points_weights"][sl][0]),
+                )
+
     wanted_pairs = {(str(n1), str(n2)) for n1, n2 in list_of_eval_names}
+    pending = []
     for i, (fixed, moving) in enumerate(loader):
         if args.early_stop_eval_subjects and i == args.early_stop_eval_subjects:
             break
@@ -65,157 +307,42 @@ def run_eval(
             # loader may carry pairs for other suites (uni vs multimodal);
             # only score the ones this suite's metric dict was built for
             continue
-        for aug in list_of_eval_augs:
-            param = parse_test_aug(aug)
-            mod1_str = "-".join(str(mod1).split("/")[-2:])
-            mod2_str = "-".join(str(mod2).split("/")[-2:])
-            save_dir = (
-                Path(args.model_eval_dir) / save_dir_prefix / f"{i}_{mod1_str}_{mod2_str}"
-            )
-            os.makedirs(save_dir, exist_ok=True)
-
-            metrics_paths = {
-                align: save_dir / f"metrics-{aug}-{align}.json"
-                for align in list_of_eval_aligns
-            }
-            if args.skip_if_completed and all(p.exists() for p in metrics_paths.values()):
-                print("Found metrics for all alignments, skipping registration...")
-                all_metrics = {
-                    k: load_dict_from_json(v) for k, v in metrics_paths.items()
+        mod1_str = "-".join(str(mod1).split("/")[-2:])
+        mod2_str = "-".join(str(mod2).split("/")[-2:])
+        save_dir = (
+            Path(args.model_eval_dir) / save_dir_prefix / f"{i}_{mod1_str}_{mod2_str}"
+        )
+        os.makedirs(save_dir, exist_ok=True)
+        entry = {
+            "i": i,
+            "mod1": mod1,
+            "mod2": mod2,
+            "mod1_str": mod1_str,
+            "mod2_str": mod2_str,
+            "save_dir": save_dir,
+            "img_f": jnp.asarray(fixed["img"], jnp.float32),
+            "img_m": jnp.asarray(moving["img"], jnp.float32),
+            "aff_f": jnp.asarray(fixed["affine"], jnp.float32),
+            "aff_m": jnp.asarray(moving["affine"], jnp.float32),
+            "metrics_paths": {
+                aug: {
+                    align: save_dir / f"metrics-{aug}-{align}.json"
+                    for align in list_of_eval_aligns
                 }
-            else:
-                img_f = jnp.asarray(fixed["img"], jnp.float32)
-                img_m = jnp.asarray(moving["img"], jnp.float32)
-                aff_f = jnp.asarray(fixed["affine"], jnp.float32)
-                aff_m = jnp.asarray(moving["affine"], jnp.float32)
-                if seg_available:
-                    n_cls = int(max(fixed["seg"].max(), moving["seg"].max())) + 1
-                    seg_f = U.one_hot(jnp.asarray(fixed["seg"], jnp.int32), n_cls)
-                    seg_m = U.one_hot(jnp.asarray(moving["seg"], jnp.int32), n_cls)
-
-                # explicit eval-time augmentation of the moving image
-                if seg_available:
-                    img_m, seg_m = affine_augment(img_m, param, seg=seg_m)
-                else:
-                    img_m = affine_augment(img_m, param)
-
-                results = registration_model(
-                    img_f,
-                    img_m,
-                    transform_type=list(list_of_eval_aligns),
-                    return_aligned_points=True,
-                    aff_f=aff_f,
-                    aff_m=aff_m,
-                )
-
-                # align-independent artifacts: save once per (pair, aug)
-                np.save(save_dir / f"img_f_{i}-{mod1_str}.npy", np.asarray(img_f[0]))
-                np.save(
-                    save_dir / f"img_m_{i}-{mod2_str}-{aug}.npy", np.asarray(img_m[0])
-                )
-                if seg_available:
-                    np.save(
-                        save_dir / f"seg_f_{i}-{mod1_str}.npy",
-                        np.argmax(np.asarray(seg_f), axis=1),
-                    )
-                    np.save(
-                        save_dir / f"seg_m_{i}-{mod2_str}-{aug}.npy",
-                        np.argmax(np.asarray(seg_m), axis=1),
-                    )
-
-                all_metrics = {}
-                for align, res in results.items():
-                    grid = res["grid"]
-                    img_a = align_img(grid, img_m)
-                    if seg_available:
-                        seg_a = align_img(grid, seg_m)
-                        dice_total = 1.0 - float(
-                            M.DiceLoss(hard=True)(seg_a, seg_f, ign_first_ch=True)
-                        )
-                        dice_roi = (
-                            1.0
-                            - np.asarray(
-                                M.DiceLoss(hard=True, return_regions=True)(
-                                    seg_a, seg_f, ign_first_ch=True
-                                )
-                            )
-                        ).tolist()
-
-                    metrics = {}
-                    for m in list_of_eval_metrics:
-                        if m == "mse":
-                            metrics["mse"] = float(M.MSELoss()(img_f, img_a))
-                        elif m == "softdice":
-                            assert seg_available
-                            metrics["softdiceloss"] = float(M.DiceLoss()(seg_a, seg_f))
-                            metrics["softdice"] = 1 - metrics["softdiceloss"]
-                        elif m == "harddice":
-                            assert seg_available
-                            metrics["harddice"] = dice_total
-                        elif m == "harddiceroi":
-                            assert seg_available
-                            metrics["harddiceroi"] = dice_roi
-                        elif m == "hausd":
-                            assert seg_available and args.dim == 3
-                            metrics["hausd"] = float(M.hausdorff_distance(seg_a, seg_f))
-                        elif m == "jdstd":
-                            assert args.dim == 3
-                            grid_permute = jnp.moveaxis(grid, -1, 1)
-                            metrics["jdstd"] = M.jdstd(grid_permute)
-                        elif m == "jdlessthan0":
-                            assert args.dim == 3
-                            grid_permute = jnp.moveaxis(grid, -1, 1)
-                            metrics["jdlessthan0"] = M.jdlessthan0(
-                                grid_permute, as_percentage=True
-                            )
-                        else:
-                            raise ValueError(f'Invalid metric "{m}"')
-                    all_metrics[align] = metrics
-
-                    print(f"-> {align}: time={res['time']:.3f}s", metrics)
-
-                    # per-align artifacts (same filenames as the reference);
-                    # align-independent files were saved above, once
-                    save_dict_as_json(metrics, metrics_paths[align])
-                    np.save(
-                        save_dir / f"img_a_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
-                        np.asarray(img_a[0]),
-                    )
-                    np.save(
-                        save_dir / f"grid_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
-                        np.asarray(grid[0]),
-                    )
-                    if seg_available:
-                        np.save(
-                            save_dir
-                            / f"seg_a_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
-                            np.argmax(np.asarray(seg_a), axis=1),
-                        )
-                    if res.get("points_f") is not None:
-                        np.save(
-                            save_dir / f"points_f_{i}-{mod1_str}.npy",
-                            np.asarray(res["points_f"][0]),
-                        )
-                        np.save(
-                            save_dir / f"points_m_{i}-{mod2_str}-{aug}.npy",
-                            np.asarray(res["points_m"][0]),
-                        )
-                        np.save(
-                            save_dir
-                            / f"points_a_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
-                            np.asarray(res["points_a"][0]),
-                        )
-                        if res.get("points_weights") is not None:
-                            np.save(
-                                save_dir
-                                / f"points_weights_{i}-{mod1_str}-{mod2_str}-{aug}-{align}.npy",
-                                np.asarray(res["points_weights"][0]),
-                            )
-
-            for m in list_of_eval_metrics:
-                for align in list_of_eval_aligns:
-                    test_metrics[f"{m}:{mod1}:{mod2}:{aug}:{align}"].append(
-                        all_metrics[align][m]
-                    )
+                for aug in list_of_eval_augs
+            },
+        }
+        if seg_available:
+            entry["seg_f"] = np.asarray(fixed["seg"])
+            entry["seg_m"] = np.asarray(moving["seg"])
+            entry["n_cls"] = (
+                int(max(entry["seg_f"].max(), entry["seg_m"].max())) + 1
+            )
+        pending.append(entry)
+        if len(pending) == batch_pairs:
+            _flush(pending)
+            pending = []
+    if pending:
+        _flush(pending)
 
     return test_metrics

@@ -162,9 +162,20 @@ def main(argv=None):
         loader = DataLoader(
             PairedDataset(list(zip(fixed, moving)), transform), batch_size=1
         )
+        # pipeline NIfTI decode with device compute, and fan pairs out over
+        # all chips (the reference's DataParallel axis, SURVEY §2.5)
+        from keymorph_tpu.data import ThreadPrefetcher
+
+        loader = ThreadPrefetcher(loader, depth=2)
+        mesh = None
+        if jax.device_count() > 1:
+            from keymorph_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(space=1)
         metrics = run_eval(
             loader, model, args.list_of_metrics, [("fixed", "moving")],
             args.list_of_augs, args.list_of_aligns, ea, save_dir_prefix="register",
+            mesh=mesh,
         )
 
     print("\nFinal metrics:")

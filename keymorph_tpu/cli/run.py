@@ -237,14 +237,25 @@ def main(argv=None):
                 for k, v in raw.items()
             }
 
+        # fan pairs out over all chips (SURVEY §2.5's highest-value DP axis)
+        # and pipeline the NIfTI decode behind device compute
+        from keymorph_tpu.data import ThreadPrefetcher
+
+        eval_loader = ThreadPrefetcher(test_loader, depth=2)
+        mesh = None
+        if jax.device_count() > 1:
+            from keymorph_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(space=1)
+
         # unimodal + multimodal suites (reference run.py:458-508)
         for suite, names in (
             ("unimodal", hp.EVAL_UNI_NAMES),
             ("multimodal", hp.EVAL_MULTI_NAMES),
         ):
             raw = run_eval(
-                test_loader, model, metrics, names, augs, aligns, ea,
-                save_dir_prefix=f"eval_{suite}",
+                eval_loader, model, metrics, names, augs, aligns, ea,
+                save_dir_prefix=f"eval_{suite}", mesh=mesh,
             )
             out_path = eval_dir / f"summary_{suite}.json"
             su.save_dict_as_json(_summarize(raw), out_path)

@@ -53,6 +53,86 @@ def test_sharded_register_tps(setup):
     assert np.isfinite(np.asarray(grid_sh)).all()
 
 
+def test_run_eval_fanout_matches_sequential(setup, tmp_path):
+    """The harness-level fan-out (run_eval with a mesh, VERDICT item 3) must
+    produce the same metric dict and per-pair artifacts as the sequential
+    per-pair path."""
+    from keymorph_tpu.cli.eval_pairwise import run_eval
+    from keymorph_tpu.models.keymorph import KeyMorph
+    from keymorph_tpu.models import UNet3D
+
+    rng = np.random.default_rng(3)
+    model = KeyMorph(
+        backbone=UNet3D(out_channels=8, f_maps=4, num_levels=2), num_keypoints=8
+    )
+    model.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 1, 12, 12, 12)))
+    model.eval()
+
+    def make_loader():
+        items = []
+        for i in range(5):  # odd count: exercises the padded partial flush
+            f = {
+                "img": rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32),
+                "seg": rng.integers(0, 3, size=(1, 1, 12, 12, 12)),
+                "affine": np.eye(4, dtype=np.float32)[None],
+                "modality": ["T1"],
+            }
+            m = {
+                "img": rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32),
+                "seg": rng.integers(0, 4, size=(1, 1, 12, 12, 12)),
+                "affine": np.eye(4, dtype=np.float32)[None],
+                "modality": ["T1"],
+            }
+            items.append((f, m))
+        return items
+
+    items = make_loader()
+
+    class A:
+        early_stop_eval_subjects = None
+        skip_if_completed = False
+        seg_available = True
+        dim = 3
+
+    metrics = ["mse", "harddice", "jdstd"]
+    names = [("T1", "T1")]
+    augs = ["rot0"]
+    aligns = ["affine", "tps_1"]
+
+    a_seq = A()
+    a_seq.model_eval_dir = tmp_path / "seq"
+    model.seed_rng(0)
+    seq = run_eval(items, model, metrics, names, augs, aligns, a_seq)
+
+    a_fan = A()
+    a_fan.model_eval_dir = tmp_path / "fan"
+    mesh = make_mesh(num_devices=4, space=1)
+    model.seed_rng(0)
+    fan = run_eval(items, model, metrics, names, augs, aligns, a_fan, mesh=mesh)
+
+    assert set(seq.keys()) == set(fan.keys())
+    for k in seq:
+        np.testing.assert_allclose(
+            np.asarray(seq[k], np.float64),
+            np.asarray(fan[k], np.float64),
+            atol=5e-4,
+            err_msg=k,
+        )
+
+    # artifact parity: same file set per pair dir, same grids
+    import os
+
+    for sub in sorted(os.listdir(a_seq.model_eval_dir / "eval")):
+        seq_dir = a_seq.model_eval_dir / "eval" / sub
+        fan_dir = a_fan.model_eval_dir / "eval" / sub
+        assert sorted(os.listdir(seq_dir)) == sorted(os.listdir(fan_dir))
+        for f in os.listdir(seq_dir):
+            if f.startswith("grid_"):
+                np.testing.assert_allclose(
+                    np.load(seq_dir / f), np.load(fan_dir / f), atol=5e-4
+                )
+
+
 def test_sharded_groupwise_matches_single(setup):
     """Sharded groupwise must reproduce the unsharded computation — the
     meaningful property of a sharding test (convergence on untrained noise
