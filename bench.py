@@ -14,8 +14,7 @@ THE PREVIOUS OUTPUT as its moving image — a chained data dependency that
 forces real sequential execution — and total wall-clock over the chain is
 divided by N.
 
-Env knobs: BENCH_SIZE (default 256), BENCH_KEYPOINTS (128), BENCH_ITERS (8),
-BENCH_IMPL ("fused" Pallas flow or "xla"; tries fused first, falls back).
+Env knobs: BENCH_SIZE (default 256), BENCH_KEYPOINTS (128), BENCH_ITERS (8).
 """
 
 from __future__ import annotations
@@ -25,25 +24,12 @@ import os
 import time
 
 
-def build_register(net, impl: str, num_chunks: int):
+def build_register(net, num_chunks: int):
     import jax
     import jax.numpy as jnp
 
     from keymorph_tpu.models.keymorph import align_pair
     from keymorph_tpu.ops.resample import align_img
-    from keymorph_tpu.transforms import solvers
-
-    if impl == "fused":
-        from keymorph_tpu.ops.pallas import tps_register_warp
-
-        @jax.jit
-        def register(params, img_f, img_m):
-            points_f, points_m, _ = net.apply(params, img_f, img_m)
-            theta = solvers.fit_tps(points_f, points_m, jnp.full((img_f.shape[0],), 1.0))
-            warped, _ = tps_register_warp(theta, points_f, img_m)
-            return warped
-
-        return register
 
     @jax.jit
     def register(params, img_f, img_m):
@@ -66,7 +52,6 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "256"))
     num_keypoints = int(os.environ.get("BENCH_KEYPOINTS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    impl_pref = os.environ.get("BENCH_IMPL", "xla")
 
     import jax
     import jax.numpy as jnp
@@ -91,14 +76,8 @@ def main():
     img_m = jax.random.uniform(jax.random.PRNGKey(1), shape, jnp.float32)
     params = net.init(jax.random.PRNGKey(2), img_f, img_m)
 
-    impl = impl_pref
-    register = build_register(net, impl, num_chunks=8)
-    try:
-        register(params, img_f, img_m).block_until_ready()
-    except Exception:
-        impl = "xla"
-        register = build_register(net, impl, num_chunks=8)
-        register(params, img_f, img_m).block_until_ready()
+    register = build_register(net, num_chunks=8)
+    register(params, img_f, img_m).block_until_ready()
 
     # warm the chained shape path too
     out = register(params, img_f, img_m)
@@ -161,7 +140,7 @@ def main():
         json.dumps(
             {
                 "metric": f"pairwise tps registrations/sec/chip at {size}^3 "
-                f"({num_keypoints} kp, truncatedunet, bf16, {impl} flow)",
+                f"({num_keypoints} kp, truncatedunet, bf16)",
                 "value": round(regs_per_sec, 4),
                 "unit": "registrations/sec",
                 "vs_baseline": round(regs_per_sec / baseline, 3) if baseline else None,

@@ -306,7 +306,7 @@ def fast_warp_enabled():
 
 
 def _xla_warp(img, planes, mode):
-    from keymorph_tpu.ops.pallas.warp import grid_sample_planes
+    from keymorph_tpu.ops.planes import grid_sample_planes
 
     return grid_sample_planes(img, planes, mode=mode)
 
@@ -367,7 +367,7 @@ _warp.defvjp(_warp_planes_fwd, _warp_planes_bwd)
 def warp_planes(img, planes, mode="bilinear"):
     """Trilinear/nearest warp from `ij`-ordered coordinate planes.
 
-    Drop-in for ``ops.pallas.warp.grid_sample_planes`` (same border /
+    Drop-in for ``ops.planes.grid_sample_planes`` (same border /
     align_corners=False semantics; reference keymorph/utils.py:14-21) with
     the gather-free Pallas kernel on the eligible path and the XLA gather
     path as exactness fallback.

