@@ -142,24 +142,14 @@ class KeyMorphNet(nn.Module):
         """Extract keypoints (and weights) for a pair. Returns
         (points_f, points_m, weights-or-None).
 
-        Fixed and moving run through the backbone as ONE (2B, ...) batch
-        when shapes allow: twice the rows for XLA's conv tiling at the
-        serving batch size of 1, and one fused program instead of two
-        (VERDICT r1 item 2's co-extraction lever). Per-sample norms
-        (instance/group) make this bitwise-equivalent; stateless batch norm
-        would couple the pair, so that configuration keeps separate passes.
+        Fixed and moving deliberately run as two separate backbone passes:
+        co-extracting them as one (2B, ...) batch was measured SLOWER on the
+        v5e (10.75 vs 14.24 reg/s at 128^3 — batched 3D convs schedule
+        sub-linearly on this chip) and doubles peak activation memory
+        (OOMs the 256^3 compile at 17.0 of 15.75 GB HBM).
         """
-        batch_coupled = getattr(self.backbone, "norm_type", None) == "batch"
-        if img_f.shape == img_m.shape and not batch_coupled:
-            B = img_f.shape[0]
-            points, feat = self.get_keypoints(
-                jnp.concatenate([img_f, img_m], axis=0), return_feat=True
-            )
-            points_f, points_m = points[:B], points[B:]
-            feat_f, feat_m = feat[:B], feat[B:]
-        else:
-            points_f, feat_f = self.get_keypoints(img_f, return_feat=True)
-            points_m, feat_m = self.get_keypoints(img_m, return_feat=True)
+        points_f, feat_f = self.get_keypoints(img_f, return_feat=True)
+        points_m, feat_m = self.get_keypoints(img_m, return_feat=True)
         if self.weight_keypoints == "variance":
             weights = self.weight_by_variance(feat_f, feat_m)
         elif self.weight_keypoints == "power":
