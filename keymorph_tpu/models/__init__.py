@@ -9,6 +9,8 @@ from keymorph_tpu.models.unet import (  # noqa: F401
     UNet2D,
     UNet3D,
     TruncatedUNet3D,
+    ResidualUNet3D,
+    ResidualUNetSE3D,
     SimpleUnet,
 )
 from keymorph_tpu.models.keymorph import KeyMorph, RegistrationResult  # noqa: F401

@@ -123,6 +123,105 @@ class DoubleConv(nn.Module):
         return x
 
 
+class ChannelSE(nn.Module):
+    """Squeeze-and-Excitation channel gate (reference unet3d/se.py:18-65,
+    channel-last): global-average squeeze -> 2-layer MLP -> sigmoid scale."""
+
+    reduction_ratio: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        s = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # (B, C)
+        s = jax.nn.relu(nn.Dense(max(C // self.reduction_ratio, 1), dtype=self.dtype)(s))
+        s = jax.nn.sigmoid(nn.Dense(C, dtype=self.dtype)(s))
+        return x * s.reshape(s.shape[0], *([1] * (x.ndim - 2)), C)
+
+
+class SpatialSE(nn.Module):
+    """Spatial SE gate (reference se.py:68-104): 1x1 conv to one channel,
+    sigmoid, scale every channel by the spatial map."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.ndim - 2
+        s = jax.nn.sigmoid(
+            nn.Conv(1, kernel_size=(1,) * dim, dtype=self.dtype)(x)
+        )
+        return x * s
+
+
+class ChannelSpatialSE(nn.Module):
+    """Concurrent scSE (reference se.py:107-130): elementwise max of the
+    channel- and spatial-SE outputs."""
+
+    reduction_ratio: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return jnp.maximum(
+            ChannelSE(self.reduction_ratio, dtype=self.dtype)(x),
+            SpatialSE(dtype=self.dtype)(x),
+        )
+
+
+class ResNetBlock(nn.Module):
+    """Residual block (reference buildingblocks.py:211-281): optional 1x1
+    channel-lift -> SingleConv(order) -> SingleConv(order minus the
+    non-linearity) -> +residual -> non-linearity; optional SE gate
+    (ResNetBlockSE, buildingblocks.py:284-318, reduction_ratio=1)."""
+
+    out_channels: int
+    encoder: bool = True  # unused; keeps the DoubleConv block interface
+    kernel_size: int = 3
+    order: str = "gcr"
+    num_groups: int = 8
+    padding: int = 1
+    dim: int = 3
+    dtype: jnp.dtype = jnp.float32
+    se_module: str = ""  # "", "scse", "cse", "sse"
+
+    @nn.compact
+    def __call__(self, x):
+        if x.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, kernel_size=(1,) * self.dim, dtype=self.dtype
+            )(x)
+        else:
+            residual = x
+        kw = dict(
+            kernel_size=self.kernel_size,
+            num_groups=self.num_groups,
+            padding=self.padding,
+            dim=self.dim,
+            dtype=self.dtype,
+        )
+        out = SingleConv(self.out_channels, order=self.order, **kw)(residual)
+        n_order = self.order
+        for c in "rel":
+            n_order = n_order.replace(c, "")
+        out = SingleConv(self.out_channels, order=n_order, **kw)(out)
+        out = out + residual
+        if "l" in self.order:
+            out = jax.nn.leaky_relu(out, negative_slope=0.1)
+        elif "e" in self.order:
+            out = jax.nn.elu(out)
+        else:
+            out = jax.nn.relu(out)
+        if self.se_module:
+            se = {
+                "scse": lambda: ChannelSpatialSE(1, dtype=self.dtype),
+                "cse": lambda: ChannelSE(1, dtype=self.dtype),
+                "sse": lambda: SpatialSE(dtype=self.dtype),
+            }[self.se_module]()
+            out = se(out)
+        return out
+
+
 def _maxpool(x, dim):
     return nn.max_pool(x, window_shape=(2,) * dim, strides=(2,) * dim)
 
@@ -142,7 +241,13 @@ def _nearest_upsample_to(x, target_spatial):
 
 
 class AbstractUNet(nn.Module):
-    """Configurable encoder/decoder U-Net (reference unet3d/model.py:14-151)."""
+    """Configurable encoder/decoder U-Net (reference unet3d/model.py:14-151).
+
+    basic_module selects the block family (reference's basic_module arg):
+      * "double" — DoubleConv blocks, nearest-upsample + CONCAT decoders
+      * "resnet" / "resnetse" — ResNetBlock(SE) blocks, transposed-conv
+        upsample + SUM decoders (buildingblocks.py:429-446)
+    """
 
     out_channels: int
     f_maps: int = 64
@@ -154,6 +259,7 @@ class AbstractUNet(nn.Module):
     final_sigmoid: bool = False
     conv_kernel_size: int = 3
     conv_padding: int = 1
+    basic_module: str = "double"
     dim: int = 3
     dtype: jnp.dtype = jnp.float32
     use_checkpoint: bool = False
@@ -174,8 +280,14 @@ class AbstractUNet(nn.Module):
             dim=self.dim,
             dtype=self.dtype,
         )
-
-        block_cls = nn.remat(DoubleConv) if self.use_checkpoint else DoubleConv
+        residual = self.basic_module in ("resnet", "resnetse")
+        if residual:
+            base_cls = ResNetBlock
+            if self.basic_module == "resnetse":
+                kw = dict(kw, se_module="scse")
+        else:
+            base_cls = DoubleConv
+        block_cls = nn.remat(base_cls) if self.use_checkpoint else base_cls
 
         def block(out_ch, encoder):
             return block_cls(out_ch, encoder=encoder, **kw)
@@ -195,8 +307,27 @@ class AbstractUNet(nn.Module):
         skips = skips[:-1][::-1]  # encoder features to join, deepest first
         for i in range(num_decoders):
             enc = skips[i]
-            x = _nearest_upsample_to(x, enc.shape[1:-1])
-            x = jnp.concatenate([enc, x], axis=-1)
+            if residual:
+                # transposed-conv upsample + SUM joining. padding (1, 2) at
+                # stride 2 / kernel 3 reproduces torch ConvTranspose3d
+                # (padding=1) with output_size = the skip's size; odd skip
+                # sizes crop the trailing voxel the output_padding would drop.
+                x = nn.ConvTranspose(
+                    reversed_f[i + 1],
+                    kernel_size=(self.conv_kernel_size,) * self.dim,
+                    strides=(2,) * self.dim,
+                    padding=((1, 2),) * self.dim,
+                    transpose_kernel=True,  # torch ConvTranspose semantics
+                    dtype=self.dtype,
+                )(x)
+                x = x[
+                    (slice(None),)
+                    + tuple(slice(0, s) for s in enc.shape[1:-1])
+                ]
+                x = enc + x
+            else:
+                x = _nearest_upsample_to(x, enc.shape[1:-1])
+                x = jnp.concatenate([enc, x], axis=-1)
             x = block(reversed_f[i + 1], encoder=False)(x)
 
         x = nn.Conv(self.out_channels, kernel_size=(1,) * self.dim, dtype=self.dtype)(x)
@@ -222,6 +353,24 @@ class TruncatedUNet3D(AbstractUNet):
     """U-Net minus the last `num_truncated_layers` decoders
     (reference unet3d/model.py:307-430). Set num_truncated_layers > 0."""
 
+    dim: int = 3
+
+
+class ResidualUNet3D(AbstractUNet):
+    """Residual 3D U-Net (reference unet3d/model.py:192-225): ResNetBlocks,
+    summation joining, transposed-conv upsampling."""
+
+    basic_module: str = "resnet"
+    num_levels: int = 5
+    dim: int = 3
+
+
+class ResidualUNetSE3D(AbstractUNet):
+    """Residual 3D U-Net with scSE gates (reference unet3d/model.py:228-263,
+    se.py:18-113; ResNetBlockSE uses reduction_ratio=1)."""
+
+    basic_module: str = "resnetse"
+    num_levels: int = 5
     dim: int = 3
 
 

@@ -49,8 +49,17 @@ def _conv_kernel(w: np.ndarray) -> np.ndarray:
 def _map_unet_keys(state_dict, num_encoders: int):
     """Reference unet3d names -> our flax paths.
 
-    encoders.i.basic_module.SingleConv{1,2}.{conv,groupnorm,batchnorm}.* and
-    decoders.j.basic_module....  -> DoubleConv_{i or E+j}/SingleConv_{0,1}/...
+    DoubleConv family:
+      encoders.i.basic_module.SingleConv{1,2}.{conv,groupnorm,batchnorm}.*
+      and decoders.j.basic_module.... -> DoubleConv_{i or E+j}/SingleConv_{0,1}/...
+    ResNetBlock(SE) family (ResidualUNet3D / ResidualUNetSE3D):
+      ...basic_module.conv1 (1x1 lift)     -> ResNetBlock_{b}/Conv_0
+      ...basic_module.conv{2,3}.{conv,groupnorm} -> ResNetBlock_{b}/SingleConv_{0,1}/...
+      ...basic_module.se_module.cSE.fc{1,2} -> .../ChannelSpatialSE_0/ChannelSE_0/Dense_{0,1}
+      ...basic_module.se_module.sSE.conv    -> .../ChannelSpatialSE_0/SpatialSE_0/Conv_0
+      decoders.j.upsampling.upsample (ConvTranspose3d) -> ConvTranspose_{j}
+        (kernel kept in torch (I, O) minor order — our decoder uses
+        transpose_kernel=True, whose param layout is (*k, O, I))
     final_conv.{weight,bias} -> Conv_0/{kernel,bias}.
     """
     mapping = {}
@@ -63,21 +72,55 @@ def _map_unet_keys(state_dict, num_encoders: int):
         elif parts[0] in ("encoders", "decoders"):
             idx = int(parts[1])
             block = idx if parts[0] == "encoders" else num_encoders + idx
-            assert parts[2] == "basic_module" and parts[3] in (
-                "SingleConv1", "SingleConv2",
-            ), f"unsupported reference module in key {key}"
-            sc = "SingleConv_0" if parts[3] == "SingleConv1" else "SingleConv_1"
-            layer, leaf_t = parts[4], parts[5]
+            if parts[2] == "upsampling":
+                assert parts[0] == "decoders" and parts[3] == "upsample"
+                leaf = "kernel" if parts[-1] == "weight" else "bias"
+                if leaf == "kernel":
+                    # torch ConvTranspose3d weight (I, O, *k) -> (*k, O, I)
+                    spatial = list(range(2, val.ndim))
+                    val = np.transpose(val, (*spatial, 1, 0))
+                mapping[(f"ConvTranspose_{idx}", leaf)] = val
+                continue
+            assert parts[2] == "basic_module", f"unsupported key {key}"
+            sub = parts[3]
+            if sub in ("SingleConv1", "SingleConv2"):
+                blk = f"DoubleConv_{block}"
+                sc = "SingleConv_0" if sub == "SingleConv1" else "SingleConv_1"
+                layer, leaf_t = parts[4], parts[5]
+            elif sub == "conv1":  # residual 1x1 channel lift
+                leaf = "kernel" if parts[-1] == "weight" else "bias"
+                val = _conv_kernel(val) if leaf == "kernel" else val
+                mapping[(f"ResNetBlock_{block}", "Conv_0", leaf)] = val
+                continue
+            elif sub in ("conv2", "conv3"):
+                blk = f"ResNetBlock_{block}"
+                sc = "SingleConv_0" if sub == "conv2" else "SingleConv_1"
+                layer, leaf_t = parts[4], parts[5]
+            elif sub == "se_module":
+                blk = (f"ResNetBlock_{block}", "ChannelSpatialSE_0")
+                leaf = "kernel" if parts[-1] == "weight" else "bias"
+                if parts[4] == "cSE":
+                    dense = "Dense_0" if parts[5] == "fc1" else "Dense_1"
+                    if leaf == "kernel":
+                        val = np.transpose(val)  # torch Linear (O, I) -> (I, O)
+                    mapping[(*blk, "ChannelSE_0", dense, leaf)] = val
+                else:  # sSE
+                    assert parts[4] == "sSE" and parts[5] == "conv"
+                    val = _conv_kernel(val) if leaf == "kernel" else val
+                    mapping[(*blk, "SpatialSE_0", "Conv_0", leaf)] = val
+                continue
+            else:
+                raise ValueError(f"unsupported reference module in key {key}")
             if layer == "conv":
                 leaf = "kernel" if leaf_t == "weight" else "bias"
                 val = _conv_kernel(val) if leaf == "kernel" else val
-                mapping[(f"DoubleConv_{block}", sc, "Conv_0", leaf)] = val
+                mapping[(blk, sc, "Conv_0", leaf)] = val
             elif layer in ("groupnorm", "batchnorm"):
                 norm = "GroupNorm_0" if layer == "groupnorm" else "BatchNorm_0"
                 leaf = "scale" if leaf_t == "weight" else "bias"
                 if leaf_t in ("running_mean", "running_var", "num_batches_tracked"):
                     continue  # batch statistics are not parameters here
-                mapping[(f"DoubleConv_{block}", sc, norm, leaf)] = val
+                mapping[(blk, sc, norm, leaf)] = val
             else:
                 raise ValueError(f"unsupported reference layer in key {key}")
         else:

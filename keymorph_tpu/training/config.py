@@ -107,7 +107,14 @@ def build_backbone(config: Config, dtype=None):
     """Backbone factory (reference scripts/run.py:339-390)."""
     import jax.numpy as jnp
 
-    from keymorph_tpu.models import ConvNet, UNet2D, UNet3D, TruncatedUNet3D
+    from keymorph_tpu.models import (
+        ConvNet,
+        ResidualUNet3D,
+        ResidualUNetSE3D,
+        TruncatedUNet3D,
+        UNet2D,
+        UNet3D,
+    )
 
     dtype = dtype or (jnp.bfloat16 if config.use_amp else jnp.float32)
     if config.backbone == "conv":
@@ -134,6 +141,19 @@ def build_backbone(config: Config, dtype=None):
             num_levels=config.num_levels_for_unet,
             num_truncated_layers=config.num_truncated_layers_for_truncatedunet,
             dtype=dtype,
+        )
+    if config.backbone in ("residualunet", "residualunetse"):
+        # residual variants live in the reference library (unet3d/model.py:
+        # 192-263) though its scripts never expose them; offered here for
+        # library completeness
+        assert config.dim == 3
+        cls = ResidualUNet3D if config.backbone == "residualunet" else ResidualUNetSE3D
+        return cls(
+            out_channels=config.num_keypoints,
+            f_maps=32,
+            num_levels=config.num_levels_for_unet,
+            dtype=dtype,
+            use_checkpoint=config.use_checkpoint,
         )
     raise ValueError(f'Invalid keypoint extractor "{config.backbone}"')
 

@@ -140,3 +140,65 @@ def test_import_convnet_forward_parity(rng):
         -1, 1,
     )
     np.testing.assert_allclose(ours, ref_out, atol=5e-4)
+
+
+def test_import_residual_unet3d_forward_parity(rng):
+    import torch
+
+    _, ref_unet = _ref()
+    torch.manual_seed(4)
+    K, F, L = 5, 8, 3
+    t_model = ref_unet.ResidualUNet3D(
+        1, K, final_sigmoid=False, f_maps=F, layer_order="gcr",
+        num_groups=8, num_levels=L, is_segmentation=False, conv_padding=1,
+    )
+    t_model.eval()
+
+    from keymorph_tpu.models import ResidualUNet3D
+    from keymorph_tpu.tools.import_torch_weights import import_backbone_state_dict
+
+    j_model = ResidualUNet3D(out_channels=K, f_maps=F, num_levels=L)
+    x = rng.normal(size=(1, 1, 16, 16, 16)).astype(np.float32)
+    params = j_model.init(jax.random.PRNGKey(0), jnp.moveaxis(jnp.asarray(x), 1, -1))
+    imported = import_backbone_state_dict(t_model.state_dict(), params["params"])
+
+    with torch.no_grad():
+        ref_out = t_model(torch.from_numpy(x)).numpy()
+    ours = np.moveaxis(
+        np.asarray(
+            j_model.apply({"params": imported}, jnp.moveaxis(jnp.asarray(x), 1, -1))
+        ),
+        -1, 1,
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4)
+
+
+def test_import_residual_unet_se3d_forward_parity(rng):
+    import torch
+
+    _, ref_unet = _ref()
+    torch.manual_seed(5)
+    K, F, L = 4, 8, 2
+    t_model = ref_unet.ResidualUNetSE3D(
+        1, K, final_sigmoid=False, f_maps=F, layer_order="gcr",
+        num_groups=8, num_levels=L, is_segmentation=False, conv_padding=1,
+    )
+    t_model.eval()
+
+    from keymorph_tpu.models import ResidualUNetSE3D
+    from keymorph_tpu.tools.import_torch_weights import import_backbone_state_dict
+
+    j_model = ResidualUNetSE3D(out_channels=K, f_maps=F, num_levels=L)
+    x = rng.normal(size=(1, 1, 16, 16, 16)).astype(np.float32)
+    params = j_model.init(jax.random.PRNGKey(0), jnp.moveaxis(jnp.asarray(x), 1, -1))
+    imported = import_backbone_state_dict(t_model.state_dict(), params["params"])
+
+    with torch.no_grad():
+        ref_out = t_model(torch.from_numpy(x)).numpy()
+    ours = np.moveaxis(
+        np.asarray(
+            j_model.apply({"params": imported}, jnp.moveaxis(jnp.asarray(x), 1, -1))
+        ),
+        -1, 1,
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4)

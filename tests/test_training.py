@@ -170,7 +170,9 @@ def test_config_roundtrip(tmp_path):
 
 
 def test_build_backbone_variants():
-    for backbone in ("conv", "unet", "truncatedunet"):
+    for backbone in (
+        "conv", "unet", "truncatedunet", "residualunet", "residualunetse"
+    ):
         c = Config(num_keypoints=8, backbone=backbone, num_levels_for_unet=2)
         net = build_backbone(c)
         assert net is not None
