@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 from pathlib import Path
@@ -178,6 +179,11 @@ def main(argv=None):
                 kp_step_fn=kp_step_fn, modality_datasets=modality_datasets,
             )
             print(f"Epoch {epoch}/{epochs}:", stats)
+            # persistent loss trajectory (wandb is optional in this env)
+            with open(model_dir / "train_log.jsonl", "a") as fh:
+                fh.write(json.dumps({"epoch": epoch, **{
+                    k: float(v) for k, v in stats.items()
+                }}) + "\n")
             if wandb:
                 wandb.log(stats)
             if epoch % config.log_interval == 0 or epoch == epochs:

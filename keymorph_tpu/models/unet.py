@@ -228,11 +228,20 @@ def _maxpool(x, dim):
 
 def _nearest_upsample_to(x, target_spatial):
     """Nearest-neighbor resize of channel-last x to target spatial size
-    (the reference's F.interpolate(mode='nearest'), buildingblocks.py:568-582)."""
+    (the reference's F.interpolate(mode='nearest'), buildingblocks.py:568-582).
+
+    Integer upscale factors (the U-Net's 2x decoders) lower as
+    broadcast+reshape via jnp.repeat — identical indices to torch nearest
+    (floor(arange(k*s)*s/(k*s)) repeats each element k times) without the
+    gather a jnp.take would emit (TPU gathers run ~116M elem/s; see PERF.md).
+    """
     B, *spatial, C = x.shape
     out = x
     for axis, (s, t) in enumerate(zip(spatial, target_spatial), start=1):
         if s == t:
+            continue
+        if t % s == 0:
+            out = jnp.repeat(out, t // s, axis=axis)
             continue
         # torch nearest: src_idx = floor(dst_idx * s / t)
         idx = jnp.floor(jnp.arange(t) * (s / t)).astype(jnp.int32)

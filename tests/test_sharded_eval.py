@@ -133,6 +133,66 @@ def test_run_eval_fanout_matches_sequential(setup, tmp_path):
                 )
 
 
+def test_run_eval_fanout_skip_if_completed(setup, tmp_path):
+    """In fan-out mode, pairs whose metric JSONs already exist are loaded
+    (not recomputed) while the rest still register — mixed batches."""
+    import os
+
+    from keymorph_tpu.cli.eval_pairwise import run_eval
+    from keymorph_tpu.models.keymorph import KeyMorph
+    from keymorph_tpu.models import UNet3D
+
+    rng = np.random.default_rng(7)
+    model = KeyMorph(
+        backbone=UNet3D(out_channels=8, f_maps=4, num_levels=2), num_keypoints=8
+    )
+    model.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 1, 12, 12, 12)))
+    model.eval()
+
+    items = []
+    for i in range(3):
+        mk = lambda: {
+            "img": rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32),
+            "affine": np.eye(4, dtype=np.float32)[None],
+            "modality": ["T1"],
+        }
+        items.append((mk(), mk()))
+
+    class A:
+        early_stop_eval_subjects = None
+        seg_available = False
+        dim = 3
+
+    a = A()
+    a.skip_if_completed = False
+    a.model_eval_dir = tmp_path
+    mesh = make_mesh(num_devices=4, space=1)
+    first = run_eval(items, model, ["mse"], [("T1", "T1")], ["rot0"], ["affine"],
+                     a, mesh=mesh)
+
+    # second run with skip_if_completed: everything loads from disk
+    a.skip_if_completed = True
+    second = run_eval(items, model, ["mse"], [("T1", "T1")], ["rot0"], ["affine"],
+                      a, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(first["mse:T1:T1:rot0:affine"]),
+        np.asarray(second["mse:T1:T1:rot0:affine"]),
+    )
+
+    # mixed batch: delete one pair's metrics; only that pair recomputes
+    victim_dir = tmp_path / "eval" / "1_T1_T1"
+    os.remove(victim_dir / "metrics-rot0-affine.json")
+    third = run_eval(items, model, ["mse"], [("T1", "T1")], ["rot0"], ["affine"],
+                     a, mesh=mesh)
+    # loaded pairs append before the recomputed one, so compare as sets
+    np.testing.assert_allclose(
+        np.sort(np.asarray(first["mse:T1:T1:rot0:affine"])),
+        np.sort(np.asarray(third["mse:T1:T1:rot0:affine"])),
+        atol=1e-6,
+    )
+    assert (victim_dir / "metrics-rot0-affine.json").exists()
+
+
 def test_sharded_groupwise_matches_single(setup):
     """Sharded groupwise must reproduce the unsharded computation — the
     meaningful property of a sharding test (convergence on untrained noise
