@@ -122,10 +122,21 @@ def run_eval(
             f"axis ({mesh.shape['data']})"
         )
     batch_sh = None
+    warp = align_img
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
 
         batch_sh = NamedSharding(mesh, P("data"))
+        # per-device warp: each chip runs the (Pallas) resampler on its own
+        # pair shard — GSPMD cannot partition the tpu_custom_call itself,
+        # but under shard_map every device traces a local batch-slice call
+        warp = shard_map(
+            align_img,
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P("data"),
+        )
 
     def _flush(pending):
         """Register + score a buffer of pending pairs for every aug."""
@@ -198,8 +209,8 @@ def run_eval(
             warped = {}
             for align, res in results.items():
                 grid = res["grid"]
-                img_a = align_img(grid, img_m)
-                seg_a = align_img(grid, seg_m) if seg_available else None
+                img_a = warp(grid, img_m)
+                seg_a = warp(grid, seg_m) if seg_available else None
                 warped[align] = (grid, img_a, seg_a)
             jax.block_until_ready([w[1] for w in warped.values()])
             batch_time = time.time() - t0

@@ -35,30 +35,53 @@ class ThreadPrefetcher:
 
     def __iter__(self) -> Iterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self.loader:
-                    q.put(item)
+                    if not _put(item):
+                        return  # consumer stopped early (break/close)
             except BaseException as e:  # propagate into the consumer
-                q.put(("__prefetch_error__", e))
+                _put(("__prefetch_error__", e))
             finally:
-                q.put(self._SENTINEL)
+                _put(self._SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
 
-        while True:
-            item = q.get()
-            if item is self._SENTINEL:
-                return
-            if (
-                isinstance(item, tuple)
-                and len(item) == 2
-                and item[0] == "__prefetch_error__"
-            ):
-                raise item[1]
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    return
+                if (
+                    isinstance(item, tuple)
+                    and len(item) == 2
+                    and item[0] == "__prefetch_error__"
+                ):
+                    raise item[1]
+                yield item
+        finally:
+            # consumer broke out (or the generator was closed): release the
+            # worker so it stops decoding and drops its queued items instead
+            # of blocking on q.put forever (volumes are hundreds of MB)
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def device_prefetch(loader: Iterable, to_device=None, depth: int = 2):

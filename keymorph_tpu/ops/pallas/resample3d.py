@@ -297,12 +297,38 @@ def _shapes_eligible(img_shape, out_spatial):
 def fast_warp_enabled():
     """The kernel is the default on TPU; KM_NO_FAST_WARP=1 restores the XLA
     gather path, KM_FORCE_FAST_WARP=1 exercises the kernel (interpreted) on
-    CPU for tests."""
+    CPU for tests. Allowlist: Mosaic lowering exists only for TPU — any
+    other backend (GPU included) must take the XLA path."""
     if os.environ.get("KM_NO_FAST_WARP") == "1":
         return False
     if os.environ.get("KM_FORCE_FAST_WARP") == "1":
         return True
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() == "tpu"
+
+
+# Per-chunk channel budget against the ~16 MiB scoped-VMEM limit. Channel-
+# scaled costs per kernel cell: the double-buffered band (2*DZ*YW*Xp), the
+# rolled band2 copy (R*Xp), and the x-contraction temporary + output lanes
+# (~B*(XW+2*_GROUP)); fixed costs (one-hot (R,B), planes block, pipeline
+# copies, and XLA's choice to park small whole outputs in VMEM) get the
+# remaining headroom. 4 MiB for the channel-scaled part held a measured
+# C=6 64^3 case (16.45M total at C=6 unchunked) with margin. Channels
+# beyond the budget are warped in chunks — the planes/one-hot work is
+# redone per chunk, cheap next to the band DMAs.
+_BAND_VMEM_BUDGET = 4 * 2**20
+
+
+def _max_band_channels(src_spatial):
+    Z, Y, X = src_spatial
+    DZ = min(_WIN[0], Z)
+    YW = min(_WIN[1], _round_up(Y, 8))
+    Xp = _round_up(X, 128)
+    R = DZ * YW
+    BZ, BY, BX = _TILE
+    B = BZ * BY * BX
+    XW = min(_WIN[2], Xp)
+    per_channel = (2 * DZ * YW * Xp + R * Xp + B * (XW + 2 * _GROUP)) * 4
+    return max(1, _BAND_VMEM_BUDGET // per_channel)
 
 
 def _xla_warp(img, planes, mode):
@@ -330,16 +356,27 @@ def _warp_planes_fwd_impl(img, planes, mode):
     nearest = mode == "nearest"
     interpret = jax.default_backend() == "cpu"
     B, C = img.shape[:2]
+    # channel chunking bounds the double-buffered band scratch (many-channel
+    # one-hot segmentations would otherwise exceed scoped VMEM at compile)
+    cb = _max_band_channels(img.shape[2:])
 
     outs = []
     for b in range(B):  # B is 1 on the serving path; small unroll otherwise
         fits = _tile_spans_fit(planes[b], img.shape[2:], nearest=nearest)
+
+        def _fast(im, pe):
+            chunks = [
+                _warp_pallas(im[c0 : c0 + cb], pe, nearest=nearest,
+                             interpret=interpret)
+                for c0 in range(0, C, cb)
+            ]
+            out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+            return out.astype(img.dtype)
+
         outs.append(
             jax.lax.cond(
                 fits,
-                lambda im, pe: _warp_pallas(
-                    im, pe, nearest=nearest, interpret=interpret
-                ).astype(img.dtype),
+                _fast,
                 lambda im, pe: _xla_warp(im[None], pe[None], mode)[0],
                 img[b],
                 planes[b],

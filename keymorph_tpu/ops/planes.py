@@ -107,16 +107,16 @@ def grid_sample_planes(img, planes, mode: str = "bilinear"):
 
 
 def affine_register_warp(inverse_matrix, img_m, out_spatial=None, mode="bilinear"):
-    """Fused inference path for affine/rigid: flow planes -> plane resample."""
+    """Fused inference path for affine/rigid: flow planes -> plane resample.
+
+    warp_planes self-dispatches: the Pallas kernel on eligible TPU shapes,
+    this module's gather formulation otherwise.
+    """
     out_spatial = tuple(out_spatial or img_m.shape[2:])
     flow = jax.vmap(lambda m: affine_flow_planes(m, out_spatial))(inverse_matrix)
     from keymorph_tpu.ops.pallas import resample3d
 
-    if resample3d.fast_warp_enabled() and resample3d._shapes_eligible(
-        img_m.shape, out_spatial
-    ):
-        return resample3d.warp_planes(img_m, flow, mode), flow
-    return grid_sample_planes(img_m, flow, mode=mode), flow
+    return resample3d.warp_planes(img_m, flow, mode), flow
 
 
 def planes_to_grid(planes):

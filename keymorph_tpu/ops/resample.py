@@ -35,7 +35,7 @@ def _gather_volume(img_flat, idx):
     return jax.vmap(lambda im, ix: im[:, ix])(img_flat, idx)
 
 
-def grid_sample(img, grid, mode="bilinear"):
+def grid_sample(img, grid, mode="bilinear", allow_pallas=True):
     """Sample `img` at `xy`-ordered normalized grid locations.
 
     Args:
@@ -53,16 +53,17 @@ def grid_sample(img, grid, mode="bilinear"):
     out_spatial = grid.shape[1:-1]
     B, C = img.shape[:2]
 
-    if d == 3 and mode in ("bilinear", "nearest"):
+    if allow_pallas and d == 3 and mode in ("bilinear", "nearest"):
         # the gather-free Pallas path (TPU default; ~8-12x the XLA gather
-        # formulation, see ops/pallas/resample3d.py). Exactness-checked per
-        # call; ineligible shapes and wild flows fall through to the gather.
+        # formulation, see ops/pallas/resample3d.py). warp_grid self-
+        # dispatches: ineligible shapes, non-TPU backends, and wild flows
+        # all fall back to this module's gather formulation. allow_pallas=
+        # False forces the gather path — required inside GSPMD-partitioned
+        # programs, where the tpu_custom_call has no partitioning rule
+        # (parallel/sharded.py); shard_map'd callers keep the kernel.
         from keymorph_tpu.ops.pallas import resample3d
 
-        if resample3d.fast_warp_enabled() and resample3d._shapes_eligible(
-            img.shape, tuple(int(s) for s in out_spatial)
-        ):
-            return resample3d.warp_grid(img, grid, mode)
+        return resample3d.warp_grid(img, grid, mode)
 
     compute_dtype = jnp.promote_types(img.dtype, jnp.float32)
     grid = grid.astype(compute_dtype)
@@ -109,12 +110,12 @@ def grid_sample(img, grid, mode="bilinear"):
     return out.astype(img.dtype)
 
 
-def align_img(grid, x, mode="bilinear"):
+def align_img(grid, x, mode="bilinear", allow_pallas=True):
     """Warp image `x` with sampling grid `grid` (reference utils.py:14-21).
 
     Note the reference argument order (grid first) is preserved.
     """
-    return grid_sample(x, grid, mode=mode)
+    return grid_sample(x, grid, mode=mode, allow_pallas=allow_pallas)
 
 
 def displacement2flow(displacement_field):

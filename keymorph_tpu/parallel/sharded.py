@@ -86,11 +86,16 @@ def make_sharded_train_step(net: KeyMorphNet, config: Config, mesh: Mesh, tx=Non
         # SP: spread the dense grid (and thus the warp gather) across 'space'
         grid = jax.lax.with_sharding_constraint(grid, _grid_spec(mesh, grid.ndim))
 
+        # allow_pallas=False: this runs inside a GSPMD-partitioned program
+        # (grid carries a ('data','space') sharding constraint) and the
+        # Pallas tpu_custom_call has no SPMD partitioning rule — XLA would
+        # have to replicate the full volume onto every chip. The gather
+        # formulation partitions cleanly along both axes.
         if use_dice:
-            seg_a = align_img(grid, seg_m)
+            seg_a = align_img(grid, seg_m, allow_pallas=False)
             loss = soft_dice_loss(seg_a, seg_f)
         else:
-            img_a = align_img(grid, img_m)
+            img_a = align_img(grid, img_m, allow_pallas=False)
             loss = mse_loss(img_f, img_a)
         return loss, {"loss": loss}
 

@@ -250,6 +250,33 @@ def test_thread_prefetcher_propagates_errors():
         next(it)
 
 
+def test_thread_prefetcher_early_break_releases_worker():
+    """Breaking out of a prefetched loop must release the worker thread
+    (it previously blocked forever on q.put, pinning decoded volumes)."""
+    import threading
+    import time
+    from keymorph_tpu.data.loader import ThreadPrefetcher
+
+    produced = []
+
+    class L:
+        def __iter__(self):
+            for i in range(100):
+                produced.append(i)
+                yield i
+
+    before = threading.active_count()
+    for x in ThreadPrefetcher(L(), depth=2):
+        if x == 3:
+            break
+    # the worker sees the stop event within its 0.1 s put timeout
+    deadline = time.time() + 3.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker still alive"
+    assert len(produced) < 100, "worker consumed the whole loader anyway"
+
+
 def test_device_prefetch_mapping():
     from keymorph_tpu.data.loader import device_prefetch
 

@@ -148,3 +148,16 @@ def test_jit_and_cond_compose(rng):
     out = f(jnp.asarray(src), jnp.asarray(planes))
     ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_channel_chunking_parity(rng, monkeypatch):
+    """Many-channel inputs (one-hot segs) are warped in band-budgeted channel
+    chunks; results must match the unchunked/gather path exactly."""
+    monkeypatch.setattr(resample3d, "_BAND_VMEM_BUDGET", 200_000)
+    src = rng.random((1, 5, 16, 16, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (16, 16, 32))
+    assert resample3d._shapes_eligible(src.shape, (16, 16, 32))
+    assert resample3d._max_band_channels((16, 16, 32)) < 5  # chunking active
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
