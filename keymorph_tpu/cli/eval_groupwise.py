@@ -131,6 +131,9 @@ def _run_group_eval_dir(
         save_dir=str(registration_results_dir),
         num_iters=5,
         log_to_console=True,
+        # multi-chip subject fan-out for extraction + grids (args.mesh is
+        # set by the register CLI when several devices are visible)
+        mesh=getattr(args, "mesh", None),
     )
 
     for align, res_dict in registration_results.items():

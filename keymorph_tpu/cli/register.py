@@ -144,6 +144,11 @@ def main(argv=None):
             for p, s in zip(moving_paths, seg_paths)
         ]
         ea.seg_available = args.moving_seg is not None
+        ea.mesh = None
+        if jax.device_count() > 1:
+            from keymorph_tpu.parallel.mesh import make_mesh
+
+            ea.mesh = make_mesh(space=1)
         loader = {"group": SingleDataset(subjects, transform)}
         metrics = run_group_eval(
             loader, model, args.list_of_metrics, ["group"], args.list_of_augs,

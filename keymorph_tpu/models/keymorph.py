@@ -600,8 +600,24 @@ class KeyMorph:
         # chunks of `kp_batch` and extracted in ONE device dispatch per chunk
         # (the reference — and round 1 — dispatched one subject at a time,
         # model.py:396-419). The final partial chunk is padded to the chunk
-        # size so only one program is compiled.
-        kp_batch = int(kwargs.get("kp_batch", min(4, num_subjects)))
+        # size so only one program is compiled. With a `mesh`, chunks shard
+        # over the 'data' axis — subject fan-out across chips (SURVEY §2.5's
+        # groupwise DP; the mean-keypoint collective lives in the sharded
+        # factories, parallel/sharded.py).
+        mesh = kwargs.get("mesh")
+        batch_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_n = int(mesh.shape["data"])
+            batch_sh = NamedSharding(mesh, P("data"))
+            kp_batch = int(kwargs.get("kp_batch", data_n))
+            assert kp_batch % data_n == 0, (
+                f"kp_batch={kp_batch} must be a multiple of the mesh 'data' "
+                f"axis ({data_n})"
+            )
+        else:
+            kp_batch = int(kwargs.get("kp_batch", min(4, num_subjects)))
         group_points = []
         group_weights = [] if self.weight_keypoints else None
         spatial = None
@@ -612,6 +628,8 @@ class KeyMorph:
             while len(chunk_imgs) < kp_batch:  # pad to a stable jit signature
                 chunk_imgs = chunk_imgs + [chunk_imgs[-1]]
             imgs = jnp.concatenate(chunk_imgs, axis=0)
+            if batch_sh is not None:
+                imgs = jax.device_put(imgs, batch_sh)
             if self.weight_keypoints:
                 # per-subject keypoint confidences — weighted groupwise
                 # registration, the reference's open TODO (model.py:296,
@@ -684,13 +702,19 @@ class KeyMorph:
             # grid_batch × prod(spatial) × d fp32 — default 4 is ~100 MB at
             # 128³; pass grid_batch=1 for 256³ groups if HBM-tight.
             grid_spatial = spatial[2:]
-            grid_batch = int(kwargs.get("grid_batch", min(4, num_subjects)))
+            if mesh is not None:
+                grid_batch = int(kwargs.get("grid_batch", data_n))
+                assert grid_batch % data_n == 0
+            else:
+                grid_batch = int(kwargs.get("grid_batch", min(4, num_subjects)))
             grids = []
             for s in range(0, num_subjects, grid_batch):
                 idx = list(range(s, min(s + grid_batch, num_subjects)))
                 n_valid = len(idx)
                 idx_pad = idx + [idx[-1]] * (grid_batch - n_valid)
                 pts = group_points[jnp.asarray(idx_pad)]
+                if batch_sh is not None:
+                    pts = jax.device_put(pts, batch_sh)
                 lm = (
                     jnp.broadcast_to(tps_lmbda, (grid_batch,))
                     if tps_lmbda is not None

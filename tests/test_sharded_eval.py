@@ -193,6 +193,39 @@ def test_run_eval_fanout_skip_if_completed(setup, tmp_path):
     assert (victim_dir / "metrics-rot0-affine.json").exists()
 
 
+def test_groupwise_register_mesh_matches_unsharded(tmp_path):
+    """KeyMorph.groupwise_register with a mesh (subject fan-out over 'data')
+    must reproduce the single-device result."""
+    from keymorph_tpu.models.keymorph import KeyMorph
+    from keymorph_tpu.models import UNet3D
+
+    rng = np.random.default_rng(11)
+    model = KeyMorph(
+        backbone=UNet3D(out_channels=8, f_maps=4, num_levels=2), num_keypoints=8
+    )
+    model.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 1, 12, 12, 12)))
+    model.eval()
+    imgs = rng.uniform(0, 1, (6, 1, 12, 12, 12)).astype(np.float32)
+
+    model.seed_rng(0)
+    ref = model.groupwise_register(imgs, transform_type=["affine"], num_iters=3)
+    mesh = make_mesh(num_devices=4, space=1)
+    model.seed_rng(0)
+    out = model.groupwise_register(
+        imgs, transform_type=["affine"], num_iters=3, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["affine"]["grouppoints_a"]),
+        np.asarray(ref["affine"]["grouppoints_a"]),
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["affine"]["groupgrids"]),
+        np.asarray(ref["affine"]["groupgrids"]),
+        atol=5e-4,
+    )
+
+
 def test_sharded_groupwise_matches_single(setup):
     """Sharded groupwise must reproduce the unsharded computation — the
     meaningful property of a sharding test (convergence on untrained noise
