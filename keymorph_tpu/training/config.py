@@ -38,7 +38,7 @@ class Config:
     align_keypoints_in_real_world_coords: bool = False
 
     # Backbone
-    backbone: str = "conv"  # "conv" | "unet" | "truncatedunet"
+    backbone: str = "conv"  # conv | unet | truncatedunet | residualunet[se]
     num_truncated_layers_for_truncatedunet: int = 1
     num_levels_for_unet: int = 4
     train_same_resolution: bool = False

@@ -170,3 +170,19 @@ def test_keymorph_bf16_amp(rng):
     pts = km.get_keypoints(img)
     # keypoints must come out fp32 (CoM is fp32 regardless of backbone dtype)
     assert pts.dtype == jnp.float32
+
+
+def test_keymorph_residual_backbone_end_to_end(rng):
+    """Residual/SE backbones drive the full registration pipeline."""
+    from keymorph_tpu.models import ResidualUNetSE3D
+
+    backbone = ResidualUNetSE3D(out_channels=8, f_maps=4, num_levels=2)
+    km = KeyMorph(backbone=backbone, num_keypoints=8, dim=3)
+    img_f = jnp.asarray(rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32))
+    img_m = jnp.asarray(rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32))
+    km.init_params(jax.random.PRNGKey(5), img_f)
+    res = km(img_f, img_m, transform_type=["affine", "tps_1"])
+    for r in res.values():
+        assert r["grid"].shape == (1, 12, 12, 12, 3)
+        assert np.isfinite(np.asarray(r["grid"])).all()
+        assert (np.abs(np.asarray(r["points_f"])) <= 1).all()
