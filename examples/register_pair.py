@@ -15,8 +15,16 @@ alignment).
 
 import argparse
 import os
+import sys
 
 import numpy as np
+
+# allow running straight from a checkout (python examples/register_pair.py)
+# without pip-installing the package
+try:
+    import keymorph_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
