@@ -160,7 +160,9 @@ def main_with_watchdog():
     import subprocess
     import sys
 
-    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "540"))
+    # cold-cache 256^3 compiles over the tunnel alone can take ~10 min;
+    # the watchdog exists for WEDGED tunnels, not slow compiles
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "1500"))
     env = dict(os.environ, KM_BENCH_CHILD="1")
     try:
         proc = subprocess.run(
