@@ -124,8 +124,8 @@ def run_eval(
     batch_sh = None
     warp = align_img
     if mesh is not None:
+        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
 
         batch_sh = NamedSharding(mesh, P("data"))
         # per-device warp: each chip runs the (Pallas) resampler on its own

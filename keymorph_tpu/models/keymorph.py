@@ -627,9 +627,14 @@ class KeyMorph:
             n_valid = len(chunk_imgs)
             while len(chunk_imgs) < kp_batch:  # pad to a stable jit signature
                 chunk_imgs = chunk_imgs + [chunk_imgs[-1]]
-            imgs = jnp.concatenate(chunk_imgs, axis=0)
+            # chunks stay host-side numpy until here so the sharded put goes
+            # host -> each chip directly (staging the concatenated chunk on
+            # device 0 first would double-transfer and spike its HBM)
+            arr = np.concatenate(chunk_imgs, axis=0)
             if batch_sh is not None:
-                imgs = jax.device_put(imgs, batch_sh)
+                imgs = jax.device_put(arr, batch_sh)
+            else:
+                imgs = jnp.asarray(arr)
             if self.weight_keypoints:
                 # per-subject keypoint confidences — weighted groupwise
                 # registration, the reference's open TODO (model.py:296,
@@ -651,7 +656,7 @@ class KeyMorph:
             group_points.append(np.asarray(points[:n_valid]))
 
         for i, img in enumerate(loader):
-            img = jnp.asarray(img, jnp.float32)
+            img = np.asarray(img, np.float32)
             if img.ndim == self.dim + 1:
                 img = img[None]
             spatial = img.shape
@@ -700,11 +705,15 @@ class KeyMorph:
             # (round 1 looped one subject per dispatch); the last chunk is
             # padded so one program serves all chunks. Memory: a chunk holds
             # grid_batch × prod(spatial) × d fp32 — default 4 is ~100 MB at
-            # 128³; pass grid_batch=1 for 256³ groups if HBM-tight.
+            # 128³; if HBM-tight at 256³ pass grid_batch=1 (single device)
+            # or grid_batch=data_n, the mesh-path minimum (one grid/device).
             grid_spatial = spatial[2:]
             if mesh is not None:
                 grid_batch = int(kwargs.get("grid_batch", data_n))
-                assert grid_batch % data_n == 0
+                assert grid_batch % data_n == 0, (
+                    f"grid_batch={grid_batch} must be a multiple of the mesh "
+                    f"'data' axis ({data_n})"
+                )
             else:
                 grid_batch = int(kwargs.get("grid_batch", min(4, num_subjects)))
             grids = []

@@ -193,7 +193,7 @@ def test_run_eval_fanout_skip_if_completed(setup, tmp_path):
     assert (victim_dir / "metrics-rot0-affine.json").exists()
 
 
-def test_groupwise_register_mesh_matches_unsharded(tmp_path):
+def test_groupwise_register_mesh_matches_unsharded():
     """KeyMorph.groupwise_register with a mesh (subject fan-out over 'data')
     must reproduce the single-device result."""
     from keymorph_tpu.models.keymorph import KeyMorph
