@@ -197,18 +197,28 @@ def main(argv=None):
         )
 
         net = model.net
+        rw = bool(getattr(config, "align_keypoints_in_real_world_coords", False))
+        aff = None
         if ref_points is None:
-            img, ref_points = pick_reference_subject(
+            img, ref_points, aff = pick_reference_subject(
                 pretrain_loader, config, seed=config.seed
             )
         else:
             batch = next(iter(pretrain_loader))
             img = jnp.asarray(np.asarray(batch["img"], np.float32)[:1])
+            if rw:
+                a = batch.get("affine")
+                a = (
+                    np.eye(config.dim + 1, dtype=np.float32)
+                    if a is None
+                    else np.asarray(a, np.float32)
+                )
+                aff = jnp.asarray(a[None] if a.ndim == 2 else a)[:1]
         step_fn = make_pretrain_step(net, config, tx)
         epochs = config.epochs if not config.debug_mode else 2
         for epoch in range(start_epoch, epochs + 1):
             state, stats, rng_key = run_pretrain(
-                img, ref_points, state, step_fn, config, epoch, rng_key
+                img, ref_points, state, step_fn, config, epoch, rng_key, aff=aff
             )
             print(f"Pretrain epoch {epoch}/{epochs}:", stats)
             if wandb:

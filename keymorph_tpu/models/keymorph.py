@@ -174,11 +174,21 @@ def align_pair(
     num_chunks: int = 1,
     compute_grid: bool = True,
     compute_aligned_points: bool = False,
+    aff_f=None,
+    aff_m=None,
+    moving_shape: Optional[Sequence[int]] = None,
 ):
     """Fit the requested transform and produce flow grid / matrices / points.
 
     Pure function of arrays + static config — the jitted heart of both
     pairwise registration and the training step.
+
+    When ``aff_f``/``aff_m`` ((B, d+1, d+1) NIfTI voxel->world affines) are
+    given, keypoints are converted to REAL-WORLD coordinates before the fit
+    and the flow grid maps back through the moving image's affine — the
+    reference's ``align_keypoints_in_real_world_coords`` mode
+    (model.py:179-199, 231-263). ``moving_shape`` is the moving image's
+    spatial shape (defaults to ``grid_shape``).
 
     Returns a dict with keys among {"grid", "matrix", "points_a"}.
     `grid` is `xy`-ordered, shaped (B, *grid_shape, dim) — the reference's
@@ -186,39 +196,60 @@ def align_pair(
     """
     out: Dict[str, Any] = {}
     spatial = tuple(grid_shape)
+    spatial_m = tuple(moving_shape) if moving_shape is not None else spatial
+    rw = aff_f is not None
+    pf, pm = points_f, points_m
+    if rw:
+        assert aff_m is not None
+        pf = Coords.convert_points_norm2real(pf, aff_f, spatial)
+        pm = Coords.convert_points_norm2real(pm, aff_m, spatial_m)
+
+    def _grid_flat():
+        B, d = points_f.shape[0], points_f.shape[-1]
+        n = int(np.prod(spatial))
+        g = jnp.broadcast_to(Coords.flat_norm_grid(spatial), (B, n, d))
+        return Coords.convert_points_norm2real(g, aff_f, spatial) if rw else g
+
+    def _finish_grid(moved):
+        B, d = points_f.shape[0], points_f.shape[-1]
+        if rw:
+            moved = Coords.convert_points_real2norm(moved, aff_m, spatial_m)
+        return jnp.flip(moved.reshape(B, *spatial, d), axis=-1)
+
     if align_type in ("affine", "rigid"):
         fit = solvers.fit_affine if align_type == "affine" else solvers.fit_rigid
-        inverse = solvers.square_matrix(fit(points_f, points_m, weights))
+        inverse = solvers.square_matrix(fit(pf, pm, weights))
         matrix = jnp.linalg.inv(inverse)
         out["matrix"] = matrix
         if compute_grid:
-            from keymorph_tpu.transforms.affine import affine_flow
+            if rw:
+                out["grid"] = _finish_grid(Coords.apply_matrix(inverse, _grid_flat()))
+            else:
+                from keymorph_tpu.transforms.affine import affine_flow
 
-            out["grid"] = affine_flow(inverse, spatial)
+                out["grid"] = affine_flow(inverse, spatial)
         if compute_aligned_points:
-            out["points_a"] = Coords.apply_matrix(matrix, points_m)
+            pa = Coords.apply_matrix(matrix, pm)
+            if rw:
+                pa = Coords.convert_points_real2norm(pa, aff_f, spatial)
+            out["points_a"] = pa
     elif align_type == "tps":
         assert lmbda is not None
-        inv_theta = solvers.fit_tps(points_f, points_m, lmbda, weights)
+        inv_theta = solvers.fit_tps(pf, pm, lmbda, weights)
         if compute_grid:
-            B = points_f.shape[0]
-            d = points_f.shape[-1]
             # chunked evaluation marks the inference path (training uses
             # num_chunks=1 and needs autodiff). XLA fuses the
             # distance→RBF→contraction chain well — device traces showed it
             # beating a hand-written Pallas flow kernel (41.7 vs 71.8 ms at
             # 256^3), so XLA is the single flow path (PERF.md).
-            n = int(np.prod(spatial))
-            grid_flat = jnp.broadcast_to(
-                Coords.flat_norm_grid(spatial), (B, n, d)
-            )
-            moved = solvers.tps_eval_chunked(
-                inv_theta, points_f, grid_flat, num_chunks
-            )
-            out["grid"] = jnp.flip(moved.reshape(B, *spatial, d), axis=-1)
+            moved = solvers.tps_eval_chunked(inv_theta, pf, _grid_flat(), num_chunks)
+            out["grid"] = _finish_grid(moved)
         if compute_aligned_points:
-            theta = solvers.fit_tps(points_m, points_f, lmbda, weights)
-            out["points_a"] = solvers.tps_eval(theta, points_m, points_m)
+            theta = solvers.fit_tps(pm, pf, lmbda, weights)
+            pa = solvers.tps_eval(theta, pm, pm)
+            if rw:
+                pa = Coords.convert_points_real2norm(pa, aff_f, spatial)
+            out["points_a"] = pa
     else:
         raise ValueError(f"Unknown align_type {align_type}")
     return out
@@ -395,64 +426,21 @@ class KeyMorph:
         if key in self._align_cache:
             return self._align_cache[key]
 
-        d = self.dim
-
         def fn(points_f, points_m, weights, lmbda, aff_f, aff_m):
-            res = {}
-            B = points_f.shape[0]
-            pf, pm = points_f, points_m
-            if rw:
-                pf = Coords.convert_points_norm2real(pf, aff_f, spatial_f)
-                pm = Coords.convert_points_norm2real(pm, aff_m, spatial_m)
-
-            if align_type in ("affine", "rigid"):
-                fit = (
-                    solvers.fit_affine if align_type == "affine" else solvers.fit_rigid
-                )
-                inverse = solvers.square_matrix(fit(pf, pm, weights))
-                res["matrix"] = jnp.linalg.inv(inverse)
-                n = int(np.prod(spatial_f))
-                grid_flat = jnp.broadcast_to(
-                    Coords.flat_norm_grid(spatial_f), (B, n, d)
-                )
-                q = (
-                    Coords.convert_points_norm2real(grid_flat, aff_f, spatial_f)
-                    if rw
-                    else grid_flat
-                )
-                moved = Coords.apply_matrix(inverse, q)
-                if rw:
-                    moved = Coords.convert_points_real2norm(moved, aff_m, spatial_m)
-                res["grid"] = jnp.flip(moved.reshape(B, *spatial_f, d), axis=-1)
-                if ret_pts:
-                    pa = Coords.apply_matrix(res["matrix"], pm)
-            else:
-                inv_theta = solvers.fit_tps(pf, pm, lmbda, weights)
-                n = int(np.prod(spatial_f))
-                grid_flat = jnp.broadcast_to(
-                    Coords.flat_norm_grid(spatial_f), (B, n, d)
-                )
-                q = (
-                    Coords.convert_points_norm2real(grid_flat, aff_f, spatial_f)
-                    if rw
-                    else grid_flat
-                )
-                moved = solvers.tps_eval_chunked(inv_theta, pf, q, num_chunks)
-                if rw:
-                    moved = Coords.convert_points_real2norm(
-                        moved, aff_m, spatial_m
-                    )
-                res["grid"] = jnp.flip(
-                    moved.reshape(B, *spatial_f, d), axis=-1
-                )
-                if ret_pts:
-                    theta = solvers.fit_tps(pm, pf, lmbda, weights)
-                    pa = solvers.tps_eval(theta, pm, pm)
-            if ret_pts:
-                if rw:
-                    pa = Coords.convert_points_real2norm(pa, aff_f, spatial_f)
-                res["points_a"] = pa
-            return res
+            return align_pair(
+                points_f,
+                points_m,
+                align_type,
+                spatial_f,
+                lmbda=lmbda,
+                weights=weights,
+                num_chunks=num_chunks,
+                compute_grid=True,
+                compute_aligned_points=ret_pts,
+                aff_f=aff_f if rw else None,
+                aff_m=aff_m if rw else None,
+                moving_shape=spatial_m,
+            )
 
         jitted = jax.jit(fn)
         self._align_cache[key] = jitted

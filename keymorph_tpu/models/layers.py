@@ -87,6 +87,40 @@ class LinearRegressor(nn.Module):
         return out.reshape(-1, self.num_keypoints, self.dim)
 
 
+class StatelessBatchNorm(nn.Module):
+    """Batch normalization over current-batch statistics (no running stats).
+
+    Parity: reference ``norm_type="batch"`` (layers.py:156-187) and the 'b'
+    layer-order char (unet3d/buildingblocks.py:75-87) use torch BatchNorm in
+    train mode, i.e. normalize by the statistics of the batch in hand. This
+    module reproduces exactly that, with learnable scale/bias, as a pure
+    function: there is no ``batch_stats`` mutable collection to thread through
+    jit/pjit/Orbax, so it works under plain ``Module.apply``. The deliberate
+    deviation from torch is eval time — torch would switch to running
+    averages, this module keeps batch statistics (torch's
+    ``track_running_stats=False`` mode). Registration nets here run with
+    batch statistics in the reference's own training path, so numerics match
+    where it matters.
+    """
+
+    epsilon: float = 1e-5  # torch BatchNorm default
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        # batch + spatial axes, per channel; fp32 stats for stability
+        axes = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (xf - mean) * inv + bias
+        return y.astype(self.dtype)
+
+
 def _norm_layer(norm_type: Optional[str], channels: int, dtype):
     if norm_type in (None, "none"):
         return None
@@ -94,9 +128,7 @@ def _norm_layer(norm_type: Optional[str], channels: int, dtype):
         # InstanceNorm = GroupNorm with one channel per group (torch eps)
         return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5, dtype=dtype)
     if norm_type == "batch":
-        # stateless batch norm (per-batch statistics); medical registration
-        # runs batch sizes of 1-4, instance/group norm is the practical choice
-        return nn.BatchNorm(use_running_average=False, dtype=dtype)
+        return StatelessBatchNorm(dtype=dtype)
     if norm_type == "group":
         groups = 8 if channels % 8 == 0 and channels >= 8 else 1
         return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype)

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from keymorph_tpu.models.layers import StatelessBatchNorm
+
 
 def number_of_features_per_level(init_channels: int, num_levels: int):
     """f_maps ladder (reference unet3d/utils.py:109-110)."""
@@ -79,7 +81,9 @@ class SingleConv(nn.Module):
                 # torch GroupNorm epsilon (flax defaults to 1e-6)
                 x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype)(x)
             elif ch == "b":
-                x = nn.BatchNorm(use_running_average=False, dtype=self.dtype)(x)
+                # stateless batch norm: current-batch statistics, no mutable
+                # collections (see models/layers.py:StatelessBatchNorm)
+                x = StatelessBatchNorm(dtype=self.dtype)(x)
             elif ch == "r":
                 x = jax.nn.relu(x)
             elif ch == "l":

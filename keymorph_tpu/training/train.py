@@ -53,31 +53,51 @@ def make_train_step(net: KeyMorphNet, config: Config, tx=None):
     """Build the jitted training step for `config.transform_type`.
 
     Returned signature:
-        step(state, key, img_f, img_m, seg_f, seg_m, aug_scale)
-            -> (state, metrics_dict)
+        step(state, key, img_f, img_m, seg_f, seg_m, aug_scale,
+             aff_f=None, aff_m=None) -> (state, metrics_dict)
     seg_f/seg_m may be None (MSE mode) — bind with functools.partial or pass
     explicitly; aug_scale implements the affine_slope ramp
     (reference train.py:80-98).
+
+    When ``config.align_keypoints_in_real_world_coords`` is set, the step
+    REQUIRES the (B, dim+1, dim+1) NIfTI affines ``aff_f``/``aff_m``; the
+    augmentation matrix is composed into the moving affine (reference
+    train.py:99-100 ``aff_m = aff_m @ aug_affine``) and the solver fits in
+    scanner space (train.py:129-137 passing aff_f/aff_m into the model).
     """
     tx = tx or make_optimizer(config)
     align_type, lmbda_spec = parse_transform_type(config.transform_type)
     use_dice = config.loss_fn == "dice"
     max_params = tuple(config.max_random_affine_augment_params)
+    rw = bool(getattr(config, "align_keypoints_in_real_world_coords", False))
 
-    def loss_fn(params, key, img_f, img_m, seg_f, seg_m, aug_scale):
+    def loss_fn(params, key, img_f, img_m, seg_f, seg_m, aug_scale, aff_f, aff_m):
         k_aug, k_lmbda, k_sub = jax.random.split(key, 3)
+        if rw:
+            assert aff_f is not None and aff_m is not None, (
+                "real-world-coords training requires aff_f/aff_m (the NIfTI "
+                "voxel->world affines) in the step call"
+            )
 
-        # on-device affine augmentation of the moving image (+seg)
+        # on-device affine augmentation of the moving image (+seg); in rw
+        # mode the aug matrix composes into the moving affine
         if any(p > 0 for p in max_params):
             if use_dice:
-                img_m, seg_m = augment.random_affine_augment(
+                img_m, seg_m, aug_M = augment.random_affine_augment(
                     k_aug, img_m, seg=seg_m,
                     max_random_params=max_params, scale_params=aug_scale,
+                    return_affine_matrix=True,
                 )
             else:
-                img_m = augment.random_affine_augment(
+                img_m, aug_M = augment.random_affine_augment(
                     k_aug, img_m,
                     max_random_params=max_params, scale_params=aug_scale,
+                    return_affine_matrix=True,
+                )
+            if rw:
+                aff_m = jnp.einsum(
+                    "bij,bjk->bik", aff_m, aug_M,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
 
         points_f, points_m, weights = net.apply(params, img_f, img_m)
@@ -104,6 +124,9 @@ def make_train_step(net: KeyMorphNet, config: Config, tx=None):
             weights=weights,
             num_chunks=1,  # no subgrid chunking during training (model.py:265-268)
             compute_grid=True,
+            aff_f=aff_f if rw else None,
+            aff_m=aff_m if rw else None,
+            moving_shape=img_m.shape[2:],
         )
         grid = aligned["grid"]
 
@@ -119,9 +142,10 @@ def make_train_step(net: KeyMorphNet, config: Config, tx=None):
         return loss, metrics
 
     @jax.jit
-    def step(state: TrainState, key, img_f, img_m, seg_f, seg_m, aug_scale):
+    def step(state: TrainState, key, img_f, img_m, seg_f, seg_m, aug_scale,
+             aff_f=None, aff_m=None):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, key, img_f, img_m, seg_f, seg_m, aug_scale
+            state.params, key, img_f, img_m, seg_f, seg_m, aug_scale, aff_f, aff_m
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -183,24 +207,33 @@ def make_train_step_sameres(net: KeyMorphNet, config: Config, tx=None):
     use_dice = config.loss_fn == "dice"
     max_params = tuple(config.max_random_affine_augment_params)
     model_size = tuple(config.img_size)
+    rw = bool(getattr(config, "align_keypoints_in_real_world_coords", False))
 
     def _resize(img, size):
         B, C = img.shape[:2]
         return jax.image.resize(img, (B, C, *size), method="trilinear")
 
-    def loss_fn(params, key, img_f, img_m, seg_f, seg_m, aug_scale):
+    def loss_fn(params, key, img_f, img_m, seg_f, seg_m, aug_scale, aff_f, aff_m):
         k_aug, k_lmbda, k_sub = jax.random.split(key, 3)
         orig_shape = img_f.shape[2:]
 
         if any(p > 0 for p in max_params):
             if use_dice:
-                img_m, seg_m = augment.random_affine_augment(
+                img_m, seg_m, aug_M = augment.random_affine_augment(
                     k_aug, img_m, seg=seg_m,
                     max_random_params=max_params, scale_params=aug_scale,
+                    return_affine_matrix=True,
                 )
             else:
-                img_m = augment.random_affine_augment(
-                    k_aug, img_m, max_random_params=max_params, scale_params=aug_scale
+                img_m, aug_M = augment.random_affine_augment(
+                    k_aug, img_m, max_random_params=max_params,
+                    scale_params=aug_scale, return_affine_matrix=True,
+                )
+            if rw:
+                # reference train.py:415: aff_m = aff_m @ aug_affine
+                aff_m = jnp.einsum(
+                    "bij,bjk->bik", aff_m, aug_M,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
 
         # keypoints from the common model resolution (CoM is resolution-
@@ -225,6 +258,9 @@ def make_train_step_sameres(net: KeyMorphNet, config: Config, tx=None):
         grid = align_pair(
             points_f, points_m, align_type, orig_shape,
             lmbda=lmbda, weights=weights, compute_grid=True,
+            aff_f=aff_f if rw else None,
+            aff_m=aff_m if rw else None,
+            moving_shape=img_m.shape[2:],
         )["grid"]
 
         if use_dice:
@@ -239,9 +275,10 @@ def make_train_step_sameres(net: KeyMorphNet, config: Config, tx=None):
         return loss, metrics
 
     @jax.jit
-    def step(state: TrainState, key, img_f, img_m, seg_f, seg_m, aug_scale):
+    def step(state: TrainState, key, img_f, img_m, seg_f, seg_m, aug_scale,
+             aff_f=None, aff_m=None):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, key, img_f, img_m, seg_f, seg_m, aug_scale
+            state.params, key, img_f, img_m, seg_f, seg_m, aug_scale, aff_f, aff_m
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -308,6 +345,25 @@ def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key,
             continue
         img_f = jnp.asarray(b_f["img"], jnp.float32)
         img_m = jnp.asarray(b_m["img"], jnp.float32)
+        if getattr(config, "align_keypoints_in_real_world_coords", False):
+            # (B, d+1, d+1) voxel->world affines from the NIfTI headers
+            # (reference train.py:45,74); synthetic sources without headers
+            # fall back to identity (== voxel space)
+            d1 = img_f.ndim - 1  # dim + 1
+            eye = np.eye(d1, dtype=np.float32)[None].repeat(img_f.shape[0], 0)
+
+            def _aff(b):
+                a = b.get("affine")
+                if a is None:
+                    return jnp.asarray(eye)
+                a = np.asarray(a, np.float32)
+                if a.ndim == 2:
+                    a = a[None].repeat(img_f.shape[0], 0)
+                return jnp.asarray(a)
+
+            aff_f, aff_m = _aff(b_f), _aff(b_m)
+        else:
+            aff_f = aff_m = None
         if config.loss_fn == "dice":
             from keymorph_tpu.utils import one_hot_subsampled_pair, one_hot
 
@@ -343,9 +399,15 @@ def run_train(loader, state, step_fn, config: Config, epoch: int, rng_key,
             seg_f = seg_m = jnp.zeros((1,), jnp.float32)
 
         rng_key, sub = jax.random.split(rng_key)
-        state, metrics = step_fn(
-            state, sub, img_f, img_m, seg_f, seg_m, jnp.float32(aug_scale)
-        )
+        if aff_f is not None:
+            state, metrics = step_fn(
+                state, sub, img_f, img_m, seg_f, seg_m, jnp.float32(aug_scale),
+                aff_f, aff_m,
+            )
+        else:
+            state, metrics = step_fn(
+                state, sub, img_f, img_m, seg_f, seg_m, jnp.float32(aug_scale)
+            )
 
         if (
             kp_step_fn is not None
