@@ -159,6 +159,21 @@ def _run_group_eval_dir(
                 np.save(seg_path, np.asarray(seg_a))
                 seg_a_paths.append(seg_path)
 
+        if getattr(args, "visualize", False):
+            # before/after center-slice montage (reference viz_tools.py
+            # plot_groupwise_register, groupwise --visualize flag)
+            from keymorph_tpu.viz import plot_groupwise_register
+
+            before, after = [], []
+            for img_path, a_path in zip(groupimg_m_paths, img_a_paths):
+                b = np.asarray(np.load(img_path)["img"])[0, 0]
+                a = np.load(a_path)[0, 0]
+                before.append(b[b.shape[0] // 2])
+                after.append(a[a.shape[0] // 2])
+            montage = str(group_dir / f"groupwise_{align}.png")
+            plot_groupwise_register(before, after, save_path=montage)
+            print(f"-> visualize: {montage}")
+
         metrics = {}
         img_metric_names, grid_metric_names = [], []
         for m in list_of_eval_metrics:

@@ -163,37 +163,68 @@ def run_eval(
             pad = [work[-1]] * (batch_pairs - n_work)
             batch = work + pad
 
-            img_f = jnp.concatenate([e["img_f"] for e in batch], axis=0)
-            img_m = jnp.concatenate([e["img_m"] for e in batch], axis=0)
-            aff_f = jnp.concatenate([e["aff_f"] for e in batch], axis=0)
-            aff_m = jnp.concatenate([e["aff_m"] for e in batch], axis=0)
-            if seg_available:
-                # one-hot to the batch-wide ceiling; per-pair channel slices
-                # below recover exactly the pair's own label set (the extra
-                # channels are identically zero through the linear warp)
-                n_cls_list = [e["n_cls"] for e in batch]
-                n_max = max(n_cls_list)
-                seg_f = jnp.concatenate(
-                    [U.one_hot(jnp.asarray(e["seg_f"], jnp.int32), n_max) for e in batch],
-                    axis=0,
-                )
-                seg_m = jnp.concatenate(
-                    [U.one_hot(jnp.asarray(e["seg_m"], jnp.int32), n_max) for e in batch],
-                    axis=0,
-                )
-
-            # explicit eval-time augmentation of the moving image
-            if seg_available:
-                img_m, seg_m = affine_augment(img_m, param, seg=seg_m)
-            else:
-                img_m = affine_augment(img_m, param)
-
+            # entries stay host numpy until here so the sharded put goes
+            # host -> each chip directly — staging on device 0 first would
+            # double-transfer and spike its HBM (mirrors keymorph.py's
+            # groupwise _flush)
+            img_f = np.concatenate([e["img_f"] for e in batch], axis=0)
+            img_m = np.concatenate([e["img_m"] for e in batch], axis=0)
+            aff_f = jnp.asarray(
+                np.concatenate([e["aff_f"] for e in batch], axis=0)
+            )
+            aff_m = jnp.asarray(
+                np.concatenate([e["aff_m"] for e in batch], axis=0)
+            )
             if batch_sh is not None:
                 img_f = jax.device_put(img_f, batch_sh)
                 img_m = jax.device_put(img_m, batch_sh)
+            else:
+                img_f = jnp.asarray(img_f)
+                img_m = jnp.asarray(img_m)
+            if seg_available:
+                # one-hot to the batch-wide ceiling; per-pair channel slices
+                # below recover exactly the pair's own label set (the extra
+                # channels are identically zero through the linear warp).
+                # int labels ship to the chips first; the one-hot expansion
+                # happens on-device, already sharded.
+                n_cls_list = [e["n_cls"] for e in batch]
+                n_max = max(n_cls_list)
+                seg_f_i = np.concatenate(
+                    [np.asarray(e["seg_f"], np.int32) for e in batch], axis=0
+                )
+                seg_m_i = np.concatenate(
+                    [np.asarray(e["seg_m"], np.int32) for e in batch], axis=0
+                )
+                if batch_sh is not None:
+                    seg_f_i = jax.device_put(seg_f_i, batch_sh)
+                    seg_m_i = jax.device_put(seg_m_i, batch_sh)
+                seg_f = U.one_hot(jnp.asarray(seg_f_i), n_max)
+                seg_m = U.one_hot(jnp.asarray(seg_m_i), n_max)
+
+            # explicit eval-time augmentation of the moving image; on the
+            # mesh path it runs under shard_map so each chip augments its
+            # own pair shard (and the Pallas warp inside stays eligible)
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                from jax import shard_map as _shard_map
+
+                n_out = 2 if seg_available else 1
+                aug_fn = _shard_map(
+                    (lambda im, sg: affine_augment(im, param, seg=sg))
+                    if seg_available
+                    else (lambda im: affine_augment(im, param)),
+                    mesh=mesh,
+                    in_specs=(P("data"),) * (2 if seg_available else 1),
+                    out_specs=(P("data"),) * n_out if seg_available else P("data"),
+                )
                 if seg_available:
-                    seg_f = jax.device_put(seg_f, batch_sh)
-                    seg_m = jax.device_put(seg_m, batch_sh)
+                    img_m, seg_m = aug_fn(img_m, seg_m)
+                else:
+                    img_m = aug_fn(img_m)
+            elif seg_available:
+                img_m, seg_m = affine_augment(img_m, param, seg=seg_m)
+            else:
+                img_m = affine_augment(img_m, param)
 
             t0 = time.time()
             results = registration_model(
@@ -240,12 +271,36 @@ def run_eval(
                     )
                     all_metrics[align] = metrics
                     print(
-                        f"-> {align}: time={batch_time / n_work:.3f}s", metrics
+                        f"-> {align}: align_time={res.get('time', float('nan')):.3f}s "
+                        f"batch_time={batch_time:.3f}s/{n_work}pairs",
+                        metrics,
                     )
                     save_dict_as_json(metrics, entry["metrics_paths"][aug][align])
                     _save_pair_align(
                         entry, aug, align, res, sl, grid_j, img_a_j, seg_a_j
                     )
+                    if getattr(args, "visualize", False):
+                        # moving/fixed/aligned panel per pair x aug x align
+                        # (reference pairwise_register_eval.py --visualize)
+                        from keymorph_tpu import viz
+
+                        show = (
+                            viz.imshow_registration_2d
+                            if args.dim == 2
+                            else viz.imshow_registration_3d
+                        )
+                        p_a = res.get("points_a")
+                        show(
+                            np.asarray(img_m[sl])[0, 0],
+                            np.asarray(img_f_j)[0, 0],
+                            np.asarray(img_a_j)[0, 0],
+                            np.asarray(res["points_m"][sl])[0],
+                            np.asarray(res["points_f"][sl])[0],
+                            np.asarray(p_a[sl])[0] if p_a is not None else None,
+                            save_path=str(
+                                entry["save_dir"] / f"panel-{aug}-{align}.png"
+                            ),
+                        )
                 _record(entry, aug, all_metrics)
 
     def _record(entry, aug, all_metrics):
@@ -331,10 +386,10 @@ def run_eval(
             "mod1_str": mod1_str,
             "mod2_str": mod2_str,
             "save_dir": save_dir,
-            "img_f": jnp.asarray(fixed["img"], jnp.float32),
-            "img_m": jnp.asarray(moving["img"], jnp.float32),
-            "aff_f": jnp.asarray(fixed["affine"], jnp.float32),
-            "aff_m": jnp.asarray(moving["affine"], jnp.float32),
+            "img_f": np.asarray(fixed["img"], np.float32),
+            "img_m": np.asarray(moving["img"], np.float32),
+            "aff_f": np.asarray(fixed["affine"], np.float32),
+            "aff_m": np.asarray(moving["affine"], np.float32),
             "metrics_paths": {
                 aug: {
                     align: save_dir / f"metrics-{aug}-{align}.json"

@@ -121,6 +121,7 @@ def main(argv=None):
 
     ea = EvalArgs()
     ea.model_eval_dir = save_dir
+    ea.visualize = args.visualize
     ea.early_stop_eval_subjects = args.early_stop_eval_subjects
     ea.skip_if_completed = args.skip_if_completed
     ea.seg_available = args.moving_seg is not None or args.groupwise

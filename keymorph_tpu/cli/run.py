@@ -186,6 +186,30 @@ def main(argv=None):
                 }}) + "\n")
             if wandb:
                 wandb.log(stats)
+            if config.visualize and (
+                epoch % config.log_interval == 0 or epoch in (1, epochs)
+            ):
+                # moving/fixed/aligned panel on one training batch
+                # (reference train.py:223-291)
+                from keymorph_tpu.viz import render_registration_panels
+
+                model.params = state.params
+                b_f, b_m = next(iter(train_loader))
+                seg_kw = {}
+                if config.loss_fn == "dice":
+                    seg_kw = {"seg_f": np.asarray(b_f["seg"]),
+                              "seg_m": np.asarray(b_m["seg"])}
+                paths = render_registration_panels(
+                    model,
+                    jnp.asarray(b_f["img"], jnp.float32),
+                    jnp.asarray(b_m["img"], jnp.float32),
+                    config.transform_type,
+                    str(model_dir / "img"),
+                    f"epoch{epoch}",
+                    dim=config.dim,
+                    **seg_kw,
+                )
+                print("-> visualize:", ", ".join(paths))
             if epoch % config.log_interval == 0 or epoch == epochs:
                 model.params = state.params
                 ckpt.save_checkpoint(str(ckpt_dir), epoch, state)
@@ -237,6 +261,7 @@ def main(argv=None):
 
         ea = EvalArgs()
         ea.model_eval_dir = eval_dir
+        ea.visualize = config.visualize
         ea.early_stop_eval_subjects = config.early_stop_eval_subjects
         ea.skip_if_completed = config.skip_if_completed
         ea.seg_available = config_seg_available

@@ -551,10 +551,11 @@ class KeyMorph:
 
         inputs: directory of ``img_*.npz`` files, list of paths, or an
         (N, 1, *spatial) stacked array.
-        kwargs: num_iters (required), device/save_dir/save_results_to_disk/
-        log_to_console (optional, mirroring the reference).
+        kwargs: num_iters (default 5, the reference's groupwise_register_eval
+        setting), device/save_dir/save_results_to_disk/log_to_console
+        (optional, mirroring the reference model.py:295-330).
         """
-        num_iters = kwargs["num_iters"]
+        num_iters = int(kwargs.get("num_iters", 5))
         log = kwargs.get("log_to_console", False)
         save_results_to_disk = kwargs.get("save_results_to_disk", False)
         save_dir = kwargs.get("save_dir")
@@ -666,6 +667,12 @@ class KeyMorph:
         for align_type_str in transform_type:
             t0 = time.time()
             align_type, lmbda_spec = parse_transform_type(align_type_str)
+            if align_type == "tps" and not isinstance(lmbda_spec, (int, float)):
+                raise ValueError(
+                    f"groupwise registration needs a numeric TPS lambda (got "
+                    f"tps_{lmbda_spec}); distributional lambdas are a "
+                    "training-time feature — pass e.g. transform_type='tps_1'"
+                )
             tps_lmbda = (
                 self._convert_tps_lmbda(1, lmbda_spec) if align_type == "tps" else None
             )

@@ -71,6 +71,11 @@ def load_checkpoint(path: str, state_template=None):
         }
         on_disk = ckptr.metadata(path).item_metadata.tree
         if "ref_points" in on_disk:
-            template["ref_points"] = np.zeros(on_disk["ref_points"].shape)
+            meta = on_disk["ref_points"]
+            # restore to the on-disk dtype (a bare np.zeros(shape) template
+            # would silently promote fp32 checkpoints to float64)
+            template["ref_points"] = np.zeros(
+                meta.shape, dtype=getattr(meta, "dtype", np.float32) or np.float32
+            )
         return ckptr.restore(path, template)
     return ckptr.restore(path)

@@ -29,7 +29,11 @@ class Config:
     kp_layer: str = "com"  # "com" | "linear"
     kpconsistency_coeff: float = 0.0
     weighted_kp_align: Optional[str] = None  # None | "variance" | "power"
-    compute_subgrids_for_tps: bool = False
+    # NOTE: the reference's --compute_subgrids_for_tps (run.py:107) and
+    # --num_test_subjects (run.py:181) are parsed-but-never-read there too
+    # (model.py:267 hardcodes subgrids to `not training`); they are
+    # deliberately NOT carried here — num_subgrids and
+    # early_stop_eval_subjects are the live knobs.
     max_train_tps_lmbda: float = 10.0
     num_subgrids: int = 4
     max_random_affine_augment_params: Tuple[float, float, float, float] = (
@@ -48,7 +52,6 @@ class Config:
     train_dataset: str = "csv"  # "csv" | "ixi"
     mix_modalities: bool = False
     num_workers: int = 1
-    num_test_subjects: int = 100
     img_size: Tuple[int, int, int] = (128, 128, 128)
 
     # ML

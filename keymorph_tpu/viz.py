@@ -189,3 +189,78 @@ def plot_groupwise_register(
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def render_registration_panels(
+    model,
+    img_f,
+    img_m,
+    transform_type: str,
+    out_dir: str,
+    tag: str,
+    seg_f=None,
+    seg_m=None,
+    dim: int = 3,
+    aff_f=None,
+    aff_m=None,
+):
+    """Run one registration forward and save moving/fixed/aligned panels.
+
+    The training/eval `--visualize` hook (reference scripts/train.py:223-291):
+    renders `img_{tag}.png` (and `seg_{tag}.png` when segs are given) under
+    `out_dir`. segs may be int label maps (B,1,*S) or one-hot (B,C,*S).
+
+    Returns the list of written paths.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from keymorph_tpu.ops.resample import align_img
+
+    os.makedirs(out_dir, exist_ok=True)
+    was_training = getattr(model, "training", False)
+    model.eval()
+    kwargs = {"return_aligned_points": True}
+    if getattr(model, "align_keypoints_in_real_world_coords", False):
+        d1 = img_f.ndim - 1
+        eye = jnp.eye(d1)[None]
+        kwargs["aff_f"] = aff_f if aff_f is not None else eye
+        kwargs["aff_m"] = aff_m if aff_m is not None else eye
+    res = model(img_f, img_m, transform_type=transform_type, **kwargs)[
+        transform_type
+    ]
+    model.train(was_training)
+    grid = res["grid"]
+    img_a = align_img(grid, jnp.asarray(img_m))
+    p_m, p_f, p_a = res["points_m"], res["points_f"], res.get("points_a")
+    w = res.get("points_weights")
+
+    paths = []
+    show = imshow_registration_2d if dim == 2 else imshow_registration_3d
+    img_path = os.path.join(out_dir, f"img_{tag}.png")
+    show(
+        _np(img_m)[0, 0], _np(img_f)[0, 0], _np(img_a)[0, 0],
+        _np(p_m)[0], _np(p_f)[0], _np(p_a)[0] if p_a is not None else None,
+        weights=_np(w)[0] if w is not None else None,
+        save_path=img_path,
+    )
+    paths.append(img_path)
+
+    if seg_f is not None and seg_m is not None:
+        seg_m = jnp.asarray(seg_m)
+        seg_a = align_img(grid, seg_m.astype(jnp.float32), mode="nearest")
+        sf, sm, sa = (_np(seg_f), _np(seg_m), _np(seg_a))
+        # one-hot segs collapse to label maps for display
+        if sf.shape[1] > 1:
+            sf, sm, sa = sf.argmax(1), sm.argmax(1), sa.argmax(1)
+        else:
+            sf, sm, sa = sf[:, 0], sm[:, 0], sa[:, 0]
+        seg_path = os.path.join(out_dir, f"seg_{tag}.png")
+        show(
+            sm[0], sf[0], sa[0],
+            _np(p_m)[0], _np(p_f)[0], _np(p_a)[0] if p_a is not None else None,
+            save_path=seg_path,
+        )
+        paths.append(seg_path)
+    return paths

@@ -134,3 +134,24 @@ def test_register_cli_groupwise(tiny_dataset, tmp_path):
     ])
     key = "mse:group:rot0:affine:4"
     assert key in metrics and len(metrics[key]) == 1
+
+
+def test_run_cli_train_visualize(tiny_dataset, tmp_path):
+    """--visualize renders moving/fixed/aligned panels during training
+    (reference train.py:223-291)."""
+    from keymorph_tpu.cli.run import main
+
+    root, csv_path = tiny_dataset
+    save_dir = str(tmp_path / "out_viz")
+    main([
+        "--run_mode", "train", "--debug_mode", "--visualize",
+        "--num_keypoints", "8", "--loss_fn", "dice", "--transform_type", "affine",
+        "--data_path", csv_path, "--train_dataset", "csv",
+        "--backbone", "unet", "--num_levels_for_unet", "2",
+        "--img_size", "12", "12", "12",
+        "--save_dir", save_dir, "--lr", "1e-4", "--log_interval", "1",
+    ])
+    img_dir = os.path.join(save_dir, "keymorph", "img")
+    pngs = os.listdir(img_dir)
+    assert any(p.startswith("img_epoch") for p in pngs), pngs
+    assert any(p.startswith("seg_epoch") for p in pngs), pngs
