@@ -1,0 +1,433 @@
+"""Fused norm+conv3x3x3+ReLU Pallas kernel: the extraction-wall breaker.
+
+XLA's channel-last 3D convolutions collapse at the U-Net's small-channel
+full-resolution levels (measured on the v5e, 256^3 bf16, GN+conv+ReLU):
+conv 16->32 runs at 4.4 TFLOPS (105.6 ms), 192->64 at 18.3 TFLOPS (76.2 ms),
+1->16 at 0.2 TFLOPS (68.5 ms) — while the deep levels reach 45-59 TFLOPS
+(tools/conv_microbench.py). The cause is lane occupancy: with C in lanes,
+Cout<=64 uses <=half the MXU's 128 lanes and Cin<=32 starves the K dim.
+
+This kernel reformulates the hot convs so the MXU runs full:
+
+  * Layout (Z, C, Y, X) with (y, x) FLATTENED into the lane axis — rows of
+    the matmul N dimension are whole y-rows of voxels, so N = YB*X (2048-4096
+    lanes) regardless of channel count.
+  * The 9 (dz, dy) taps stack into the contraction dim: K = 9*Cin_chunk.
+    A (Cout, 9*Cin) x (9*Cin, YB*X) matmul per dx tap; the dx in {-1,0,+1}
+    shift is applied as a LANE ROLL of the (small) output instead of a
+    shifted copy of the (large) input, with the two boundary columns that a
+    roll would contaminate masked off (they correspond to the conv's zero
+    padding).
+  * The preceding GroupNorm/InstanceNorm collapses to a per-channel affine
+    once its (cheap, XLA) stats are known, and an input affine folds EXACTLY
+    into the conv weights: conv(a*x+b) = conv_{a*W}(x) + (sum W)·b. The
+    normalization's full-volume elementwise pass disappears into the kernel.
+  * ReLU (or none) fuses into the epilogue.
+
+The contraction runs in bf16 with fp32 accumulation — the same arithmetic
+XLA's bf16 conv performs. Parity: reference `SingleConv` 'gcr'
+(keymorph/unet3d/buildingblocks.py:10-95) and `ConvBlock`
+(keymorph/layers.py:137-187); numerics are tested against the XLA lowering
+of the identical affine+conv+relu composition.
+
+Eligibility (static): X % 128 == 0, Y % YB == 0, Z % ZB == 0, dtype bf16 or
+fp32 input (compute always bf16 x bf16 -> fp32, like the backbone's AMP
+mode). Ineligible shapes fall back to XLA. The custom VJP's backward runs
+the XLA formulation (identical function), so training is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+def _pick_tiles(cin, cout, Y, X):
+    """(ZB, YB, Cg): z rows per cell, y rows per cell, Cin chunk — sized
+    against the ~16 MiB scoped-VMEM budget (band + S + acc + out block)."""
+    forced = os.environ.get("KM_CONV_TILES")
+    if forced:
+        ZB, YB, Cg = (int(v) for v in forced.split(","))
+        return ZB, YB, min(Cg, cin)
+    # lane row of one y-window: (YB+16)*X elems
+    # try generous tiles first, shrink until the budget holds
+    for ZB, YB, Cg in (
+        (4, 16, cin),
+        (4, 16, 64),
+        (2, 16, 64),
+        (2, 8, 64),
+        (2, 8, 32),
+        (1, 8, 32),
+    ):
+        Cg = min(Cg, cin)
+        if cin % Cg != 0 or Y % YB != 0:
+            continue
+        WL = (YB + 16) * X
+        N = YB * X
+        vmem = (
+            2 * (ZB + 2) * Cg * WL * 2  # double-buffered input band (bf16)
+            + 9 * max(Cg, 8) * N * 2  # S stack (bf16; sublane-padded)
+            + ZB * cout * N * 4  # fp32 accumulator
+            + 2 * ZB * cout * N * 2  # pipelined output blocks (bf16)
+            + 9 * cin * cout * 3 * 2  # weights
+        )
+        if vmem <= 13 * 2**20:
+            return ZB, YB, Cg
+    return None
+
+
+def _shapes_eligible(shape):
+    Z, C, Y, X = shape
+    return X % 128 == 0 and X >= 128 and Y % 8 == 0 and Z >= 1
+
+
+def _kernel(wt_ref, bias_ref, xp_ref, out_ref, band, s_ref, sem, *,
+            ZB, YB, Cg, X, Cout, n_cells_y, relu, out_dtype):
+    """Grid: (n_cells_z * n_cells_y,) linearized. One Cin group per call —
+    larger channel counts are split into independent single-group calls and
+    summed by the host wrapper (keeps the kernel free of revisited-output
+    accumulation, which the tunnel's Mosaic build miscompiles).
+
+    wt_ref:  (3, Cout, 9*Cg) VMEM — dx-tap weights, bf16.
+    bias_ref:(Cout, 128) fp32 (columns 0..2 meaningful).
+    xp_ref:  (Z+2, Cg, (Y+16)*X) HBM, halo-padded, bf16.
+    out_ref: (ZB, Cout, YB*X) VMEM block.
+    band:    (2, ZB+2, Cg, (YB+16)*X) bf16 double buffer.
+    s_ref:   (9*Cg, YB*X) bf16 tap stack.
+    """
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    WL = (YB + 16) * X
+    N = YB * X
+
+    def dma(step, slot):
+        iz = step // n_cells_y
+        iy = step % n_cells_y
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(iz * ZB, ZB + 2), :, pl.ds(iy * YB * X, WL)],
+            band.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        dma(t + 1, (t + 1) % 2).start()
+
+    dma(t, t % 2).wait()
+    slot = t % 2
+
+    # lane index within each y-row (for dx boundary masking)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1) % X
+    b = bias_ref[:, 0:1]  # (Cout, 1) folded bias
+    c_left = bias_ref[:, 1:2]  # x=0 boundary constant (dx=-1 tap)
+    c_right = bias_ref[:, 2:3]  # x=X-1 boundary constant (dx=+1 tap)
+
+    for lz in range(ZB):
+        # stack the 9 (dz, dy) taps: S[(dz*3+dy)*Cg : +Cg, :] = shifted rows
+        for dz in range(3):
+            for dy in range(3):
+                s_ref[(dz * 3 + dy) * Cg : (dz * 3 + dy + 1) * Cg, :] = (
+                    band[slot, lz + dz, :, (7 + dy) * X : (7 + dy) * X + N]
+                )
+        s = s_ref[...]
+        o = jnp.broadcast_to(b, (Cout, N)).astype(jnp.float32)
+        o = o + jnp.where(lane == 0, c_left, 0.0)
+        o = o + jnp.where(lane == X - 1, c_right, 0.0)
+        for dx in range(3):
+            y_dx = jax.lax.dot_general(
+                wt_ref[dx],
+                s,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Cout, N)
+            if dx == 0:
+                # output x gets input x-1: shift contributions right; the
+                # first column of every X-row would wrap — zero it (the
+                # boundary constant was added above)
+                y_dx = jnp.where(lane > 0, pltpu.roll(y_dx, 1, 1), 0.0)
+            elif dx == 2:
+                # left-roll by 1 == right-roll by N-1 (pltpu.roll wants >= 0)
+                y_dx = jnp.where(lane < X - 1, pltpu.roll(y_dx, N - 1, 1), 0.0)
+            o = o + y_dx
+        if relu:
+            o = jnp.maximum(o, 0.0)
+        out_ref[lz] = o.astype(out_dtype)
+
+
+def _prepack(w, scale, shift, bias):
+    """(3,3,3,Cin,Cout) HWIO + per-Cin affine -> kernel operands.
+
+    Returns (wt (3, Cout, 9*Cin) bf16, bias_col (Cout, 128) fp32,
+    halo (Cin,) fp32).
+
+    Folding with exact zero-padding semantics: the true op is
+    conv_W(pad0(a*x + b)). The kernel computes conv_{aW}(pad_h(x)) + ΣWb
+    with halo value h = -b/a per channel, so every out-of-bounds tap
+    contributes (aW)·(-b/a) = -W·b, exactly cancelling its share of the
+    folded ΣWb term. The x axis has no physical halo (the dx shift is a
+    lane roll); its two boundary columns instead get the per-dx-tap
+    constants c_dx = -Σ_{dz,dy,ci} W[dz,dy,dx,ci,:]·b[ci], stored in
+    bias_col columns 1 (dx=-1 tap at x=0) and 2 (dx=+1 tap at x=X-1).
+    """
+    k1, k2, k3, cin, cout = w.shape
+    assert (k1, k2, k3) == (3, 3, 3)
+    wf = w.astype(jnp.float32)
+    if scale is not None:
+        wf = wf * scale.astype(jnp.float32)[None, None, None, :, None]
+    fold_bias = jnp.zeros((cout,), jnp.float32)
+    c_left = jnp.zeros((cout,), jnp.float32)
+    c_right = jnp.zeros((cout,), jnp.float32)
+    halo = jnp.zeros((cin,), jnp.float32)
+    if shift is not None:
+        b = shift.astype(jnp.float32)
+        w32 = w.astype(jnp.float32)
+        prec = jax.lax.Precision.HIGHEST
+        fold_bias = jnp.einsum("zyxio,i->o", w32, b, precision=prec)
+        c_left = -jnp.einsum("zyio,i->o", w32[:, :, 0], b, precision=prec)
+        c_right = -jnp.einsum("zyio,i->o", w32[:, :, 2], b, precision=prec)
+        if scale is not None:
+            a = scale.astype(jnp.float32)
+            halo = jnp.where(a != 0.0, -b / jnp.where(a == 0.0, 1.0, a), 0.0)
+        else:
+            halo = -b
+    if bias is not None:
+        fold_bias = fold_bias + bias.astype(jnp.float32)
+    # (dz, dy, dx, ci, co) -> (dx, co, dz, dy, ci)
+    wt = jnp.transpose(wf, (2, 4, 0, 1, 3)).reshape(3, cout, 9 * cin)
+    bias_col = (
+        jnp.zeros((cout, 128), jnp.float32)
+        .at[:, 0].set(fold_bias)
+        .at[:, 1].set(c_left)
+        .at[:, 2].set(c_right)
+    )
+    return wt.astype(jnp.bfloat16), bias_col, halo
+
+
+def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
+                       out_dtype=jnp.bfloat16):
+    """Single Cin-group call: x (Z, Cg, Y, X) -> (Z, Cout, Y, X)."""
+    Z, Cin, Y, X = (int(s) for s in x.shape)
+    Cout = int(w.shape[-1])
+    ZB, YB, _ = tiles
+    # pad Z to a ZB multiple (zeros; extra rows discarded)
+    Zp = _round_up(Z, ZB)
+
+    wt, bias_col, halo = _prepack(w, scale, shift, bias)
+
+    xb = x.astype(jnp.bfloat16)
+    # halo pad: +1 z both sides (+ZB alignment), +8 y rows both sides. Halo
+    # entries hold -shift/scale per channel (zero without a shift) — see
+    # _prepack: out-of-bounds taps then cancel the folded bias exactly.
+    hv = halo.astype(jnp.bfloat16)
+    ypad = jnp.broadcast_to(hv[None, :, None, None], (Z, Cin, 8, X))
+    body = jnp.concatenate([ypad, xb, ypad], axis=2)  # (Z, Cin, Y+16, X)
+    zpad_f = jnp.broadcast_to(hv[None, :, None, None], (1, Cin, Y + 16, X))
+    zpad_b = jnp.broadcast_to(
+        hv[None, :, None, None], (1 + Zp - Z, Cin, Y + 16, X)
+    )
+    xp = jnp.concatenate([zpad_f, body, zpad_b], axis=0)
+    xp = xp.reshape(Zp + 2, Cin, (Y + 16) * X)
+
+    n_cells_z = Zp // ZB
+    n_cells_y = Y // YB
+    grid = (n_cells_z * n_cells_y,)
+    N = YB * X
+    WL = (YB + 16) * X
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            ZB=ZB, YB=YB, Cg=Cin, X=X, Cout=Cout,
+            n_cells_y=n_cells_y, relu=relu, out_dtype=out_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (3, Cout, 9 * Cin), lambda t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((Cout, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ZB, Cout, N),
+            lambda t: (t // n_cells_y, 0, t % n_cells_y),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((Zp, Cout, Y * X), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, ZB + 2, Cin, WL), jnp.bfloat16),
+            pltpu.VMEM((9 * Cin, N), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(wt, bias_col, xp)
+    return out.reshape(Zp, Cout, Y, X)[:Z]
+
+
+def _conv_pallas(x, w, scale, shift, bias, relu, interpret):
+    """x: (Z, Cin, Y, X) -> (Z, Cout, Y, X). Shapes pre-checked.
+
+    Cin beyond the VMEM budget splits into independent channel groups at
+    the JAX level (one single-group kernel call each, summed here): the
+    in-kernel accumulate-across-revisits formulation crashes the tunnel's
+    server-side Mosaic build, and the host-side sum costs only one fused
+    elementwise pass per extra group.
+    """
+    Z, Cin, Y, X = (int(s) for s in x.shape)
+    Cout = int(w.shape[-1])
+    if Cin < 8:
+        # sub-sublane channel counts (the U-Net's 1-channel first conv) hit
+        # Mosaic DMA limits; zero-pad channels to one sublane tile. The
+        # padded channels carry zero weights, so numerics are unchanged.
+        pad = 8 - Cin
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+        if scale is not None:
+            scale = jnp.pad(scale, (0, pad))
+        if shift is not None:
+            shift = jnp.pad(shift, (0, pad))
+        Cin = 8
+    tiles = _pick_tiles(Cin, Cout, Y, X)
+    assert tiles is not None
+    ZB, YB, Cg = tiles
+
+    def grp(c0, c1, with_consts, relu_g, out_dtype):
+        return _conv_pallas_group(
+            x[:, c0:c1],
+            w[:, :, :, c0:c1],
+            scale[c0:c1] if scale is not None else None,
+            shift[c0:c1] if shift is not None else None,
+            bias if with_consts else None,
+            relu_g,
+            interpret,
+            (ZB, YB, Cg),
+            out_dtype=out_dtype,
+        )
+
+    if Cg == Cin:
+        return grp(0, Cin, True, relu, jnp.bfloat16)
+    # fp32 group outputs keep the cross-group sum at full precision; the
+    # single bf16 rounding happens after the sum, like the XLA lowering
+    parts = [
+        grp(c0, min(c0 + Cg, Cin), c0 == 0, False, jnp.float32)
+        for c0 in range(0, Cin, Cg)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(jnp.bfloat16)
+
+
+def _conv_xla(x, w, scale, shift, bias, relu):
+    """Reference lowering on the same (Z, C, Y, X) layout (fallback + VJP).
+
+    Matches the kernel's arithmetic: bf16 inputs/weights, fp32 accumulate.
+    """
+    xc = x.astype(jnp.float32)
+    if scale is not None:
+        xc = xc * scale.astype(jnp.float32)[None, :, None, None]
+    if shift is not None:
+        xc = xc + shift.astype(jnp.float32)[None, :, None, None]
+    # (Z, C, Y, X) -> (1, C, Z, Y, X). Operands are rounded to bf16 then
+    # lifted to fp32: bf16 x bf16 products are exact in fp32, so this equals
+    # the kernel's bf16-multiply/fp32-accumulate arithmetic while keeping
+    # the conv primitive single-dtype (its transpose rule rejects mixed).
+    lhs = (
+        jnp.transpose(xc, (1, 0, 2, 3))[None]
+        .astype(jnp.bfloat16)
+        .astype(jnp.float32)
+    )
+    rhs = (
+        jnp.transpose(w, (4, 3, 0, 1, 2)).astype(jnp.bfloat16).astype(jnp.float32)
+    )  # OIDHW
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1, 1), "SAME",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32,
+    )[0]  # (Cout, Z, Y, X)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[:, None, None, None]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return jnp.transpose(out, (1, 0, 2, 3)).astype(jnp.bfloat16)
+
+
+def fast_conv_enabled():
+    """Default on TPU; KM_NO_FAST_CONV=1 disables, KM_FORCE_FAST_CONV=1
+    exercises the kernel (interpreted) on CPU for tests."""
+    if os.environ.get("KM_NO_FAST_CONV") == "1":
+        return False
+    if os.environ.get("KM_FORCE_FAST_CONV") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _conv(x, w, scale, shift, bias, relu):
+    return _conv_fwd_impl(x, w, scale, shift, bias, relu)
+
+
+def _conv_fwd_impl(x, w, scale, shift, bias, relu):
+    if (
+        not fast_conv_enabled()
+        or not _shapes_eligible(tuple(int(s) for s in x.shape))
+        or _pick_tiles(
+            int(x.shape[1]), int(w.shape[-1]), int(x.shape[2]), int(x.shape[3])
+        )
+        is None
+    ):
+        return _conv_xla(x, w, scale, shift, bias, relu)
+    interpret = jax.default_backend() == "cpu"
+    return _conv_pallas(x, w, scale, shift, bias, relu, interpret)
+
+
+def _conv_fwd(x, w, scale, shift, bias, relu):
+    return _conv_fwd_impl(x, w, scale, shift, bias, relu), (x, w, scale, shift, bias)
+
+
+def _conv_bwd(relu, res, g):
+    x, w, scale, shift, bias = res
+    def f(x_, w_, scale_, shift_, bias_):
+        return _conv_xla(x_, w_, scale_, shift_, bias_, relu)
+    _, vjp = jax.vjp(f, x, w, scale, shift, bias)
+    return vjp(g)
+
+
+_conv.defvjp(_conv_fwd, _conv_bwd)
+
+
+def conv3x3_fused(x, w, scale=None, shift=None, bias=None, relu=True):
+    """Fused (per-channel affine) + 3^3 same-conv + bias + (ReLU).
+
+    Args:
+        x: (Z, Cin, Y, X) volume (bf16 or fp32; compute is bf16 with fp32
+           accumulation either way).
+        w: (3, 3, 3, Cin, Cout) HWIO conv weights (flax ``nn.Conv`` layout).
+        scale/shift: optional per-Cin affine applied BEFORE the conv — the
+           folded form of GroupNorm/InstanceNorm/stateless-BatchNorm once
+           their stats are known (reference 'gcr' order,
+           unet3d/buildingblocks.py:10-95).
+        bias: optional per-Cout conv bias.
+        relu: fuse a trailing ReLU.
+
+    Returns:
+        (Z, Cout, Y, X) bf16.
+    """
+    return _conv(x, w, scale, shift, bias, relu)

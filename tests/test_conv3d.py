@@ -1,0 +1,108 @@
+"""Parity tests for the fused Pallas conv3x3 kernel (ops/pallas/conv3d.py)
+against the XLA lowering of the identical affine+conv+relu composition.
+
+Runs the kernel in interpret mode on the CPU backend (KM_FORCE_FAST_CONV),
+the same mechanism the warp kernel's tests use."""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ["KM_FORCE_FAST_CONV"] = "1"
+
+import jax
+import jax.numpy as jnp
+
+from keymorph_tpu.ops.pallas import conv3d
+
+
+def _mk(rng, shape):
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+
+def _compare(x, w, scale=None, shift=None, bias=None, relu=True, tol=3e-2):
+    got = np.asarray(
+        conv3d.conv3x3_fused(x, w, scale=scale, shift=shift, bias=bias, relu=relu)
+    ).astype(np.float32)
+    want = np.asarray(
+        conv3d._conv_xla(x, w, scale, shift, bias, relu)
+    ).astype(np.float32)
+    assert got.shape == want.shape
+    scale_ref = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale_ref, want / scale_ref, atol=tol)
+
+
+def test_conv_basic(rng):
+    x = _mk(rng, (4, 16, 16, 128))
+    w = _mk(rng, (3, 3, 3, 16, 32)) * 0.1
+    _compare(x, w, relu=False)
+
+
+def test_conv_relu_bias(rng):
+    x = _mk(rng, (4, 8, 16, 128))
+    w = _mk(rng, (3, 3, 3, 8, 16)) * 0.1
+    b = _mk(rng, (16,))
+    _compare(x, w, bias=b, relu=True)
+
+
+def test_conv_affine_fold(rng):
+    """GN-folded per-channel scale/shift before the conv."""
+    x = _mk(rng, (4, 16, 16, 128))
+    w = _mk(rng, (3, 3, 3, 16, 32)) * 0.1
+    a = jnp.abs(_mk(rng, (16,))) + 0.5
+    s = _mk(rng, (16,))
+    _compare(x, w, scale=a, shift=s, relu=True)
+
+
+def test_conv_single_channel_input(rng):
+    """Cin=1 — the U-Net's first conv."""
+    x = _mk(rng, (4, 1, 16, 128))
+    w = _mk(rng, (3, 3, 3, 1, 16)) * 0.3
+    _compare(x, w, relu=True)
+
+
+def test_conv_multi_cell_halos(rng):
+    """Multiple z cells and y cells: halo DMAs across cell boundaries."""
+    x = _mk(rng, (8, 8, 32, 128))
+    w = _mk(rng, (3, 3, 3, 8, 16)) * 0.1
+    _compare(x, w, relu=False)
+
+
+def test_conv_cin_chunking(rng):
+    """Cin large enough to force K chunking (decoder shapes)."""
+    x = _mk(rng, (2, 192, 8, 128))
+    w = _mk(rng, (3, 3, 3, 192, 64)) * 0.05
+    _compare(x, w, relu=True)
+
+
+def test_conv_z_not_multiple_of_tile(rng):
+    """Z not divisible by ZB exercises the z padding path."""
+    x = _mk(rng, (5, 8, 16, 128))
+    w = _mk(rng, (3, 3, 3, 8, 16)) * 0.1
+    _compare(x, w, relu=False)
+
+
+def test_conv_ineligible_falls_back(rng):
+    """X not a lane multiple routes to XLA (still correct)."""
+    x = _mk(rng, (4, 8, 16, 64))
+    w = _mk(rng, (3, 3, 3, 8, 16)) * 0.1
+    _compare(x, w, relu=False, tol=1e-5)
+
+
+def test_conv_grad_flows(rng):
+    """The custom VJP produces finite grads matching the XLA function."""
+    x = _mk(rng, (4, 8, 16, 128))
+    w = _mk(rng, (3, 3, 3, 8, 16)) * 0.1
+
+    def loss_k(w_):
+        return jnp.sum(conv3d.conv3x3_fused(x, w_, relu=True).astype(jnp.float32) ** 2)
+
+    def loss_x(w_):
+        return jnp.sum(conv3d._conv_xla(x, w_, None, None, None, True).astype(jnp.float32) ** 2)
+
+    gk = np.asarray(jax.grad(loss_k)(w))
+    gx = np.asarray(jax.grad(loss_x)(w))
+    assert np.all(np.isfinite(gk))
+    ref = np.abs(gx).max() + 1e-6
+    np.testing.assert_allclose(gk / ref, gx / ref, atol=3e-2)
