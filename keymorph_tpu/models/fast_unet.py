@@ -1,0 +1,248 @@
+"""Kernel-layout U-Net executor: runs the DoubleConv U-Net family on the
+fused Pallas conv (ops/pallas/conv3d.py) without per-conv layout churn.
+
+The flax backbone (models/unet.py) computes channel-last; the Pallas conv
+wants (Z, C, Y, X) with (y, x) flattened into lanes. Converting per conv
+would re-pay the relayouts the kernel exists to avoid, so this module
+re-executes the WHOLE network from the flax param tree:
+
+  * levels whose X is a lane multiple (>= 128) run in (Z, C, Y, X) on the
+    fused norm+conv+relu kernel — at 256^3 that is encoder levels 1-2 and
+    the last decoder, i.e. everything the microbenchmarks showed XLA
+    mishandling (tools/conv_microbench.py);
+  * deeper levels (XLA already at 45-59 TFLOPS there) run channel-last with
+    the same arithmetic as the flax modules;
+  * the single entry transpose is free (the input has one channel) and the
+    exit transpose is one heatmap relayout.
+
+Numerical contract: identical math to models/unet.py `AbstractUNet`
+(basic_module="double", layer_order="gcr"/"cr") in bf16 — GroupNorm fp32
+stats with torch eps 1e-5, conv bf16 multiplies with fp32 accumulation,
+nearest upsample, 2x max-pool, [skip, x] concat order, final 1x1 conv.
+Parity is tested against the flax apply in tests/test_fast_unet.py.
+
+Parity anchor: reference keymorph/unet3d/{model,buildingblocks}.py (the
+same network this re-executes); SURVEY §7's "keep the MXU busy" rule.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keymorph_tpu.ops.pallas import conv3d
+
+
+def supports_fast_unet(backbone) -> bool:
+    """Static check: can this flax backbone module run on the fast path?"""
+    from keymorph_tpu.models.unet import AbstractUNet
+
+    return (
+        isinstance(backbone, AbstractUNet)
+        and backbone.basic_module == "double"
+        and backbone.layer_order in ("gcr", "cr")
+        and backbone.dim == 3
+        and backbone.conv_kernel_size == 3
+        and backbone.conv_padding == 1
+        and backbone.dtype == jnp.bfloat16
+        and not backbone.is_segmentation
+    )
+
+
+def _gn_groups(c: int, num_groups: int) -> int:
+    """Group-count rule of models/unet.py SingleConv (reference
+    buildingblocks.py:66-72)."""
+    if c < num_groups:
+        return 1
+    if c % num_groups == 0:
+        return num_groups
+    return next(g for g in range(num_groups, 0, -1) if c % g == 0)
+
+
+def _gn_affine(x, gamma, beta, groups, channel_axis):
+    """Per-channel (scale, shift) equivalent of GroupNorm once stats are
+    known. Stats in fp32 (flax normalization default), eps 1e-5 (torch).
+
+    Computed as per-CHANNEL mean / mean-square reductions first (no
+    transpose of the volume), then aggregated over each (equal-sized)
+    group — algebraically identical to the group statistics.
+    """
+    C = x.shape[channel_axis]
+    cg = C // groups
+    xf = x.astype(jnp.float32)
+    axes = tuple(a for a in range(x.ndim) if a != (channel_axis % x.ndim))
+    mean_c = jnp.mean(xf, axis=axes)  # (C,)
+    msq_c = jnp.mean(jnp.square(xf), axis=axes)
+    mean_g = jnp.mean(mean_c.reshape(groups, cg), axis=1)
+    var_g = jnp.mean(msq_c.reshape(groups, cg), axis=1) - jnp.square(mean_g)
+    inv_g = jax.lax.rsqrt(var_g + 1e-5)
+    gamma = gamma.astype(jnp.float32)
+    scale = jnp.repeat(inv_g, cg) * gamma
+    shift = beta.astype(jnp.float32) - jnp.repeat(mean_g * inv_g, cg) * gamma
+    return scale, shift
+
+
+def _single_conv_zc(p: Dict[str, Any], x, num_groups: int, relu=True):
+    """'gcr'/'cr' SingleConv on (Z, C, Y, X) via the fused kernel."""
+    w = p["Conv_0"]["kernel"]
+    scale = shift = bias = None
+    if "GroupNorm_0" in p:
+        g = _gn_groups(x.shape[1], num_groups)
+        scale, shift = _gn_affine(
+            x, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g, 1
+        )
+    else:
+        bias = p["Conv_0"].get("bias")
+    return conv3d.conv3x3_fused(x, w, scale=scale, shift=shift, bias=bias, relu=relu)
+
+
+def _single_conv_cl(p: Dict[str, Any], x, num_groups: int, relu=True):
+    """'gcr'/'cr' SingleConv on channel-last (Z, Y, X, C) via XLA (the deep
+    levels, where XLA is already near roofline)."""
+    w = p["Conv_0"]["kernel"].astype(jnp.bfloat16)
+    if "GroupNorm_0" in p:
+        g = _gn_groups(x.shape[-1], num_groups)
+        scale, shift = _gn_affine(
+            x, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g, -1
+        )
+        x = (x.astype(jnp.float32) * scale + shift).astype(jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
+        x[None].astype(jnp.bfloat16),
+        w,
+        (1, 1, 1),
+        "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )[0]
+    if "GroupNorm_0" not in p and "bias" in p["Conv_0"]:
+        out = out + p["Conv_0"]["bias"].astype(jnp.float32)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(jnp.bfloat16)
+
+
+def _double_conv(p, x, fast: bool, num_groups: int):
+    sc = _single_conv_zc if fast else _single_conv_cl
+    x = sc(p["SingleConv_0"], x, num_groups)
+    return sc(p["SingleConv_1"], x, num_groups)
+
+
+def _maxpool2(x, fast: bool):
+    if fast:  # (Z, C, Y, X)
+        Z, C, Y, X = x.shape
+        x = x.reshape(Z // 2, 2, C, Y // 2, 2, X // 2, 2)
+        return jnp.max(x, axis=(1, 4, 6))
+    Z, Y, X, C = x.shape
+    x = x.reshape(Z // 2, 2, Y // 2, 2, X // 2, 2, C)
+    return jnp.max(x, axis=(1, 3, 5))
+
+
+def _upsample2(x, fast: bool):
+    """Nearest x2 (the U-Net decoder's F.interpolate(mode='nearest'))."""
+    if fast:  # (Z, C, Y, X)
+        x = jnp.repeat(x, 2, axis=0)
+        x = jnp.repeat(x, 2, axis=2)
+        return jnp.repeat(x, 2, axis=3)
+    x = jnp.repeat(x, 2, axis=0)
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+def _to_cl(x):  # (Z, C, Y, X) -> (Z, Y, X, C)
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def _to_zc(x):  # (Z, Y, X, C) -> (Z, C, Y, X)
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _level_fast(spatial):
+    Z, Y, X = spatial
+    return X % 128 == 0 and X >= 128 and Y % 8 == 0
+
+
+def fast_unet_forward(backbone, params: Dict[str, Any], img):
+    """Run the U-Net from its flax params on the hybrid fast path.
+
+    Args:
+        backbone: the flax AbstractUNet module (for static config).
+        params: its param subtree (params["params"]["backbone"]).
+        img: (B, 1, Z, Y, X) channel-first volume (the pipeline contract).
+
+    Returns:
+        (B, *spatial_out, K) channel-last heatmaps — the same contract as
+        ``backbone.apply`` gives the keypoint heads.
+    """
+    from keymorph_tpu.models.unet import number_of_features_per_level
+
+    if isinstance(backbone.f_maps, int):
+        f_maps = number_of_features_per_level(backbone.f_maps, backbone.num_levels)
+    else:
+        f_maps = list(backbone.f_maps)
+    L = len(f_maps)
+    num_groups = backbone.num_groups
+    num_decoders = L - 1 - backbone.num_truncated_layers
+
+    outs = []
+    for b in range(img.shape[0]):
+        x = jnp.swapaxes(img[b], 0, 1).astype(jnp.bfloat16)  # (Z, 1, Y, X)
+        spatial = x.shape[0], x.shape[2], x.shape[3]
+        fast = _level_fast(spatial)
+
+        # encoder
+        skips = []  # (tensor, fast_layout)
+        for i in range(L):
+            if i > 0:
+                x = _maxpool2(x, fast_prev)
+                spatial = tuple(s // 2 for s in spatial)
+                want_fast = _level_fast(spatial)
+                if fast_prev and not want_fast:
+                    x = _to_cl(x)
+                fast = want_fast and fast_prev
+            x = _double_conv(params[f"DoubleConv_{i}"], x, fast, num_groups)
+            skips.append((x, fast))
+            fast_prev = fast
+
+        # decoder (deepest skip is the current x; truncation drops the last
+        # decoders — models/unet.py:314-340)
+        reversed_f = list(reversed(f_maps))
+        enc_list = skips[:-1][::-1]
+        for i in range(num_decoders):
+            enc, enc_fast = enc_list[i]
+            if fast and not enc_fast:
+                x = _to_cl(x)
+                fast = False
+            if enc_fast and not fast:
+                # transpose BEFORE the upsample (8x smaller)
+                x = _to_zc(x)
+                fast = True
+            x = _upsample2(x, fast)
+            if fast:
+                x = jnp.concatenate([enc, x], axis=1)
+            else:
+                x = jnp.concatenate([enc, x], axis=-1)
+            x = _double_conv(params[f"DoubleConv_{L + i}"], x, fast, num_groups)
+
+        # final 1x1 conv as a channel matmul (XLA's conv lowering of the
+        # 1x1 measured 2.2 TFLOPS; the einsum lowers as a clean matmul)
+        hw = params["Conv_0"]["kernel"][0, 0, 0].astype(jnp.bfloat16)  # (C, K)
+        hb = params["Conv_0"]["bias"].astype(jnp.float32)
+        if fast:
+            out = (
+                jnp.einsum(
+                    "zcyx,ck->zyxk", x, hw, preferred_element_type=jnp.float32
+                )
+                + hb
+            )
+        else:
+            out = (
+                jnp.einsum(
+                    "zyxc,ck->zyxk", x, hw, preferred_element_type=jnp.float32
+                )
+                + hb
+            )
+        outs.append(out.astype(jnp.bfloat16))
+    return jnp.stack(outs, axis=0)

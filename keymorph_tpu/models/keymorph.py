@@ -85,6 +85,11 @@ class KeyMorphNet(nn.Module):
     keypoint_layer: str = "com"  # "com" | "linear"
     weight_keypoints: Optional[str] = None  # None | "variance" | "power"
     compute_dtype: jnp.dtype = jnp.float32  # bf16 == the reference's AMP mode
+    # route extraction through the fused Pallas conv executor when the
+    # backbone supports it (models/fast_unet.py). Training factories clone
+    # with False: the kernel's VJP falls back to XLA convs whose backward
+    # layout is untuned, so the flax path stays the training default.
+    fast_extract: bool = True
 
     def setup(self):
         if self.weight_keypoints == "variance":
@@ -99,6 +104,16 @@ class KeyMorphNet(nn.Module):
 
     def features(self, img):
         """img (B, 1, *spatial) channel-first -> heatmaps (B, *spatial', K)."""
+        if self.fast_extract and not self.is_initializing():
+            from keymorph_tpu.models.fast_unet import (
+                fast_unet_forward,
+                supports_fast_unet,
+            )
+            from keymorph_tpu.ops.pallas.conv3d import fast_conv_enabled
+
+            if supports_fast_unet(self.backbone) and fast_conv_enabled():
+                fp = self.variables["params"]["backbone"]
+                return fast_unet_forward(self.backbone, fp, img)
         x = jnp.moveaxis(img, 1, -1).astype(self.compute_dtype)
         return self.backbone(x)
 

@@ -44,6 +44,9 @@ def _grid_spec(mesh: Mesh, ndim: int):
 
 def make_sharded_train_step(net: KeyMorphNet, config: Config, mesh: Mesh, tx=None):
     """Jitted multi-chip train step: batch DP + spatially-sharded warp."""
+    # training keeps the flax extraction path: the Pallas conv's VJP
+    # backward runs untuned XLA layouts (see KeyMorphNet.fast_extract)
+    net = net.clone(fast_extract=False)
     tx = tx or make_optimizer(config)
     align_type, lmbda_spec = parse_transform_type(config.transform_type)
     use_dice = config.loss_fn == "dice"

@@ -39,6 +39,9 @@ def make_pretrain_step(net: KeyMorphNet, config: Config, tx=None):
     In rw mode ``ref_points`` are real-world coordinates and ``aff`` is the
     subject's (d+1, d+1) voxel->world affine (batched (B, d+1, d+1)).
     """
+    # training keeps the flax extraction path: the Pallas conv's VJP
+    # backward runs untuned XLA layouts (see KeyMorphNet.fast_extract)
+    net = net.clone(fast_extract=False)
     tx = tx or make_optimizer(config)
     max_params = (0.2, 0.2, 3.1416, 0.1)  # pretrain.py:52 defaults
     rw = bool(getattr(config, "align_keypoints_in_real_world_coords", False))

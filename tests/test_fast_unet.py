@@ -1,0 +1,106 @@
+"""Parity: the kernel-layout U-Net executor (models/fast_unet.py) vs the
+flax backbone apply, and through the KeyMorphNet keypoint contract."""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ["KM_FORCE_FAST_CONV"] = "1"
+
+import jax
+import jax.numpy as jnp
+
+from keymorph_tpu.models import fast_unet
+from keymorph_tpu.models.keymorph import KeyMorphNet
+from keymorph_tpu.models.unet import TruncatedUNet3D, UNet3D
+
+
+def _mk_backbone(cls=TruncatedUNet3D, **kw):
+    kw.setdefault("out_channels", 8)
+    kw.setdefault("f_maps", 4)
+    kw.setdefault("num_levels", 3)
+    kw.setdefault("dtype", jnp.bfloat16)
+    if cls is TruncatedUNet3D:
+        kw.setdefault("num_truncated_layers", 1)
+    return cls(**kw)
+
+
+def _rel_close(a, b, tol):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    ref = np.abs(b).max() + 1e-6
+    np.testing.assert_allclose(a / ref, b / ref, atol=tol)
+
+
+def _truth_and_noise_floor(backbone, params, x_cl):
+    """fp32 ground truth + the flax bf16 path's own deviation from it.
+
+    bf16 U-Net outputs carry real accumulation noise (the CPU backend even
+    accumulates bf16 convs in bf16); the meaningful parity statement is
+    that the fast path deviates from the fp32 truth NO MORE than the flax
+    bf16 path does (same-arithmetic contract), not bit equality.
+    """
+    f32 = backbone.clone(dtype=jnp.float32)
+    truth = np.asarray(
+        f32.apply(params, x_cl.astype(jnp.float32)), np.float32
+    )
+    flax_out = np.asarray(backbone.apply(params, x_cl), np.float32)
+    ref = np.abs(truth).max() + 1e-6
+    noise = np.abs(flax_out - truth).max() / ref
+    return truth, ref, noise
+
+
+@pytest.mark.parametrize("cls", [TruncatedUNet3D, UNet3D])
+def test_fast_unet_matches_flax(rng, cls):
+    backbone = _mk_backbone(cls)
+    assert fast_unet.supports_fast_unet(backbone)
+    img = jnp.asarray(rng.uniform(0, 1, size=(1, 1, 16, 16, 128)).astype(np.float32))
+    x_cl = jnp.moveaxis(img, 1, -1).astype(jnp.bfloat16)
+    params = backbone.init(jax.random.PRNGKey(0), x_cl)
+    truth, ref, noise = _truth_and_noise_floor(backbone, params, x_cl)
+    got = np.asarray(
+        fast_unet.fast_unet_forward(backbone, params["params"], img), np.float32
+    )
+    assert got.shape == truth.shape
+    fast_err = np.abs(got - truth).max() / ref
+    assert fast_err <= 2.0 * noise + 1e-3, (fast_err, noise)
+
+
+def test_fast_unet_all_levels_eligible(rng):
+    """Every level lane-eligible (X stays >= 128): full kernel path."""
+    backbone = _mk_backbone(num_levels=2)
+    img = jnp.asarray(rng.uniform(0, 1, size=(1, 1, 8, 16, 256)).astype(np.float32))
+    x_cl = jnp.moveaxis(img, 1, -1).astype(jnp.bfloat16)
+    params = backbone.init(jax.random.PRNGKey(0), x_cl)
+    truth, ref, noise = _truth_and_noise_floor(backbone, params, x_cl)
+    got = np.asarray(
+        fast_unet.fast_unet_forward(backbone, params["params"], img), np.float32
+    )
+    fast_err = np.abs(got - truth).max() / ref
+    assert fast_err <= 2.0 * noise + 1e-3, (fast_err, noise)
+
+
+def test_keymorphnet_fast_extract_keypoints(rng):
+    """Keypoints through the fast path land within bf16 noise of the flax
+    path (the pipeline-level contract)."""
+    backbone = _mk_backbone()
+    net_fast = KeyMorphNet(
+        backbone=backbone, num_keypoints=8, compute_dtype=jnp.bfloat16,
+        fast_extract=True,
+    )
+    net_slow = net_fast.clone(fast_extract=False)
+    img = jnp.asarray(rng.uniform(0, 1, size=(1, 1, 16, 16, 128)).astype(np.float32))
+    params = net_slow.init(jax.random.PRNGKey(0), img, img)
+    p_slow = net_slow.apply(params, img, method=KeyMorphNet.get_keypoints)
+    p_fast = net_fast.apply(params, img, method=KeyMorphNet.get_keypoints)
+    assert np.all(np.abs(np.asarray(p_fast)) <= 1.0)
+    np.testing.assert_allclose(
+        np.asarray(p_fast), np.asarray(p_slow), atol=2e-2
+    )
+
+
+def test_fast_extract_skips_fp32_models(rng):
+    """fp32 backbones (no AMP) must NOT route through the bf16 kernel."""
+    backbone = _mk_backbone(dtype=jnp.float32)
+    assert not fast_unet.supports_fast_unet(backbone)
