@@ -191,6 +191,10 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
         x = jnp.swapaxes(img[b], 0, 1).astype(jnp.bfloat16)  # (Z, 1, Y, X)
         spatial = x.shape[0], x.shape[2], x.shape[3]
         fast = _level_fast(spatial)
+        if not fast:
+            # lane-ineligible volumes run fully channel-last (free transpose:
+            # the input has one channel)
+            x = _to_cl(x)
 
         # encoder
         skips = []  # (tensor, fast_layout)

@@ -59,7 +59,7 @@ _GROUP = 8  # sub-tiles per kernel cell (fills the output block's sublane dim)
 
 
 def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
-            pad_spatial, windows, channels, nearest):
+            pad_spatial, windows, channels, nearest, bf16_mm=False):
     """One cell = _GROUP output tiles: band DMAs + one-hot-matmul trilerp.
 
     Layout note: every in-kernel array keeps voxels in LANES and small
@@ -146,17 +146,30 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
 
         dma(s, slot, z0, y0).wait()
         for c in range(channels):
-            band2 = band[slot, c].reshape(R, Xp).astype(jnp.float32)
+            band2 = band[slot, c].reshape(R, Xp)
             if XW < Xp:
                 band2 = pltpu.roll(band2, -x0, 1)[:, :XW]
-            # contract band rows against one-hot rows: (R,XW)x(R,B)->(XW,B)
-            tmp = jax.lax.dot_general(
-                band2,
-                oh,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # contract band rows against one-hot rows: (R,XW)x(R,B)->(XW,B).
+            # Precision: HIGH (3-pass bf16 splits) by default — ~1 ulp off
+            # the 6-pass HIGHEST the kernel originally used at HALF the MXU
+            # time (the matmul dominates the kernel; PERF.md round 3).
+            # KM_WARP_BF16=1 runs one bf16 pass (band + weights rounded to
+            # bf16, fp32 accumulate): ~2x further, ~1e-3 relative error.
+            if bf16_mm:
+                tmp = jax.lax.dot_general(
+                    band2.astype(jnp.bfloat16),
+                    oh.astype(jnp.bfloat16),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                tmp = jax.lax.dot_general(
+                    band2.astype(jnp.float32),
+                    oh,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGH,
+                )
             o = jnp.sum(tmp * hx, axis=0, keepdims=True)  # (1, B)
             out_ref[0, s : s + 1, c * B : (c + 1) * B] = o
 
@@ -212,6 +225,8 @@ def _warp_pallas(img, planes, *, nearest, interpret):
         (out_spatial[0] // BZ) * (out_spatial[1] // BY) * (out_spatial[2] // BX)
     )
     planes_t = _tile_planes(planes.astype(jnp.float32), _TILE)
+    bf16_mm = os.environ.get("KM_WARP_BF16") == "1"
+    band_dtype = jnp.bfloat16 if bf16_mm else jnp.float32
 
     out_tiled = pl.pallas_call(
         functools.partial(
@@ -221,6 +236,7 @@ def _warp_pallas(img, planes, *, nearest, interpret):
             windows=(DZ, YW, XW),
             channels=C,
             nearest=nearest,
+            bf16_mm=bf16_mm,
         ),
         grid=(num_tiles // _GROUP,),
         in_specs=[
@@ -236,11 +252,11 @@ def _warp_pallas(img, planes, *, nearest, interpret):
             (num_tiles // _GROUP, _GROUP, C * B), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, C, DZ, YW, pad_spatial[2]), jnp.float32),
+            pltpu.VMEM((2, C, DZ, YW, pad_spatial[2]), band_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(planes_t, img.astype(jnp.float32))
+    )(planes_t, img.astype(band_dtype))
     return _untile_output(out_tiled, out_spatial, _TILE, C)
 
 

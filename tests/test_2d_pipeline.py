@@ -3,6 +3,8 @@ throughout: CoM2d, UNet2D, 2D aligners, 2D augmentation)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

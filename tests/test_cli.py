@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from keymorph_tpu.data.nifti import save_nifti
 
 

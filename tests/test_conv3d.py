@@ -4,17 +4,21 @@ against the XLA lowering of the identical affine+conv+relu composition.
 Runs the kernel in interpret mode on the CPU backend (KM_FORCE_FAST_CONV),
 the same mechanism the warp kernel's tests use."""
 
-import os
-
 import numpy as np
 import pytest
-
-os.environ["KM_FORCE_FAST_CONV"] = "1"
 
 import jax
 import jax.numpy as jnp
 
 from keymorph_tpu.ops.pallas import conv3d
+
+
+@pytest.fixture(autouse=True)
+def _force_fast_conv(monkeypatch):
+    # fixture (not import-time env mutation): pytest imports every test
+    # module at collection, so a module-level setenv would leak into the
+    # whole suite run
+    monkeypatch.setenv("KM_FORCE_FAST_CONV", "1")
 
 
 def _mk(rng, shape):

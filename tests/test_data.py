@@ -184,6 +184,7 @@ def test_csv_dataset_pairs_schema(tmp_path):
     assert fixed[0].modality == "fixed"
 
 
+@pytest.mark.slow
 def test_paired_loader_batching(tmp_path):
     subs = [Subject(img_path=EXAMPLE_SEG, modality="T1") for _ in range(3)]
     pre = Preprocessor(size=(16, 16, 16))

@@ -1,15 +1,17 @@
 """Parity: the kernel-layout U-Net executor (models/fast_unet.py) vs the
 flax backbone apply, and through the KeyMorphNet keypoint contract."""
 
-import os
-
 import numpy as np
 import pytest
 
-os.environ["KM_FORCE_FAST_CONV"] = "1"
-
 import jax
 import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def _force_fast_conv(monkeypatch):
+    # fixture, not import-time env mutation (collection-time leakage)
+    monkeypatch.setenv("KM_FORCE_FAST_CONV", "1")
 
 from keymorph_tpu.models import fast_unet
 from keymorph_tpu.models.keymorph import KeyMorphNet
@@ -51,6 +53,7 @@ def _truth_and_noise_floor(backbone, params, x_cl):
     return truth, ref, noise
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cls", [TruncatedUNet3D, UNet3D])
 def test_fast_unet_matches_flax(rng, cls):
     backbone = _mk_backbone(cls)
@@ -67,6 +70,7 @@ def test_fast_unet_matches_flax(rng, cls):
     assert fast_err <= 2.0 * noise + 1e-3, (fast_err, noise)
 
 
+@pytest.mark.slow
 def test_fast_unet_all_levels_eligible(rng):
     """Every level lane-eligible (X stays >= 128): full kernel path."""
     backbone = _mk_backbone(num_levels=2)
@@ -104,3 +108,17 @@ def test_fast_extract_skips_fp32_models(rng):
     """fp32 backbones (no AMP) must NOT route through the bf16 kernel."""
     backbone = _mk_backbone(dtype=jnp.float32)
     assert not fast_unet.supports_fast_unet(backbone)
+
+
+def test_fast_extract_ineligible_volume_routes_channel_last(rng):
+    """Small (lane-ineligible) volumes run fully channel-last — regression
+    for the layout mixup a leaked KM_FORCE_FAST_CONV exposed."""
+    backbone = _mk_backbone()
+    net = KeyMorphNet(
+        backbone=backbone, num_keypoints=8, compute_dtype=jnp.bfloat16,
+        fast_extract=True,
+    )
+    img = jnp.asarray(rng.uniform(0, 1, size=(1, 1, 8, 8, 8)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), img, img)
+    pts = net.apply(params, img, method=KeyMorphNet.get_keypoints)
+    assert np.all(np.isfinite(np.asarray(pts)))

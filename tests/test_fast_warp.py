@@ -83,6 +83,7 @@ def test_fallback_on_high_frequency_flow(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_channels_and_batch(rng):
     src = rng.random((2, 3, 32, 32, 32), dtype=np.float32)
     planes = np.concatenate(
@@ -112,6 +113,7 @@ def test_ineligible_shapes_fall_back(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_grad_matches_xla_path(rng):
     src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
     planes = _smooth_planes(rng, (32, 32, 32))
@@ -128,6 +130,7 @@ def test_grad_matches_xla_path(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_warp_grid_contract(rng):
     """xy-ordered grid entrypoint matches ops.resample.grid_sample."""
     from keymorph_tpu.ops.resample import grid_sample
@@ -150,6 +153,7 @@ def test_jit_and_cond_compose(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_channel_chunking_parity(rng, monkeypatch):
     """Many-channel inputs (one-hot segs) are warped in band-budgeted channel
     chunks; results must match the unchunked/gather path exactly."""
@@ -161,3 +165,18 @@ def test_channel_chunking_parity(rng, monkeypatch):
     out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
     ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_bf16_band_mode_parity(rng, monkeypatch):
+    """KM_WARP_BF16=1: bf16 band + weights, fp32 accumulate — opt-in speed
+    mode; error bounded by bf16 rounding of values and hat weights."""
+    monkeypatch.setenv("KM_WARP_BF16", "1")
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1.5e-2)
+    # and the default path stays tight
+    monkeypatch.delenv("KM_WARP_BF16")
+    out2 = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-6)

@@ -45,6 +45,7 @@ def test_unet3d_shapes():
     assert y.shape == (1, 16, 16, 16, 8)
 
 
+@pytest.mark.slow
 def test_unet2d_shapes():
     model = UNet2D(out_channels=4, f_maps=4, num_levels=3)
     x = jnp.zeros((2, 32, 32, 1))
@@ -70,6 +71,7 @@ def test_convnet_shapes():
     assert y.shape == (1, 2, 2, 8)  # 16x downsample
 
 
+@pytest.mark.slow
 def test_simple_unet_shapes():
     model = SimpleUnet(out_channels=1)
     x = jnp.zeros((1, 16, 16, 16, 1))
@@ -123,6 +125,7 @@ def test_keymorph_self_registration_identity(small_keymorph, rng):
     np.testing.assert_allclose(m, np.eye(4), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_keymorph_weighted_variants(rng):
     backbone = UNet3D(out_channels=8, f_maps=2, num_levels=2)
     for weighting in ("power", "variance"):
@@ -162,6 +165,7 @@ def test_keymorph_groupwise(rng):
     assert spread(r["grouppoints_a"]) <= spread(r["grouppoints_m"]) + 1e-6
 
 
+@pytest.mark.slow
 def test_keymorph_bf16_amp(rng):
     backbone = UNet3D(out_channels=8, f_maps=2, num_levels=2, dtype=jnp.bfloat16)
     km = KeyMorph(backbone=backbone, num_keypoints=8, dim=3, use_amp=True)
@@ -172,6 +176,7 @@ def test_keymorph_bf16_amp(rng):
     assert pts.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_keymorph_residual_backbone_end_to_end(rng):
     """Residual/SE backbones drive the full registration pipeline."""
     from keymorph_tpu.models import ResidualUNetSE3D

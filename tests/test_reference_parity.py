@@ -10,6 +10,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 
 REF_PATH = "/root/reference"

@@ -34,6 +34,7 @@ def _affines(rng, batch=1):
     return jnp.asarray(np.stack([one() for _ in range(batch)]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("transform_type", ["affine", "tps_0.1"])
 def test_rw_train_step_decreases_loss(rng, transform_type):
     net = _tiny_net()
@@ -85,6 +86,7 @@ def test_rw_train_step_requires_affines(rng):
         step(state, jax.random.PRNGKey(0), img, img, None, None, jnp.float32(1.0))
 
 
+@pytest.mark.slow
 def test_rw_pretrain_step_decreases_loss(rng):
     """rw pretraining: voxel-sampled reference points -> real coords via the
     affine; predicted norm points convert through the ORIGINAL affine
@@ -158,6 +160,7 @@ def test_stateless_batchnorm_matches_torch(rng):
     )
 
 
+@pytest.mark.slow
 def test_unet_bcr_order_trains(rng):
     """A 'bcr'-order U-Net initializes, applies, and takes a grad step."""
     net = _tiny_net(layer_order="bcr")
@@ -177,6 +180,7 @@ def test_unet_bcr_order_trains(rng):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_convnet_batch_norm_forward(rng):
     """The ConvNet backbone with norm_type='batch' (reference net.py:7-36 +
     layers.py:156-187) runs end-to-end."""

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from keymorph_tpu.data.nifti import load_nifti, save_nifti
 
 
