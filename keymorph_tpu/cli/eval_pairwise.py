@@ -136,6 +136,7 @@ def run_eval(
             mesh=mesh,
             in_specs=(P("data"), P("data")),
             out_specs=P("data"),
+            check_vma=False,  # pallas_call emits un-annotated out avals
         )
 
     def _flush(pending):

@@ -60,6 +60,7 @@ def make_sharded_train_step(net: KeyMorphNet, config: Config, mesh: Mesh, tx=Non
             mesh=mesh,
             in_specs=(P("data", "space", *extra), P("data")),
             out_specs=P("data", None, "space"),
+            check_vma=False,  # pallas_call emits un-annotated out avals
         )(grid, img)
 
     # training keeps the flax extraction path: the Pallas conv's VJP

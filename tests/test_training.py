@@ -230,3 +230,37 @@ def test_sharded_matches_single_device(rng):
     # reduction-order differences in tiny gradients flip updates by +-2*lr
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_sharded_train_warp_kernel_path(rng, monkeypatch):
+    """Sharded train step with the PALLAS warp active per shard (interpret
+    mode): kernel-eligible local slabs, loss parity vs the XLA warp path
+    (VERDICT r2 #7's done condition)."""
+    from keymorph_tpu.parallel import make_mesh, make_sharded_train_step
+
+    net = _tiny_net()
+    config = Config(
+        num_keypoints=8, transform_type="affine", loss_fn="mse", lr=1e-4,
+        max_random_affine_augment_params=(0.0, 0.0, 0.0, 0.0),
+    )
+    # local slab after space=2 sharding: (16, 16, 64) -> tiles 4*2*2 = 16,
+    # a multiple of the kernel's 8-subtile group (shapes eligible)
+    img_f = jnp.asarray(rng.normal(size=(2, 1, 32, 16, 64)).astype(np.float32))
+    img_m = jnp.asarray(rng.normal(size=(2, 1, 32, 16, 64)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), img_f[:1], img_f[:1])
+    tx = make_optimizer(config)
+    dummy = jnp.zeros((1,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(num_devices=4, space=2)
+
+    sharded = make_sharded_train_step(net, config, mesh, tx)
+    s0 = TrainState.create(params, tx)
+    _, m_xla = sharded(s0, key, img_f, img_m, dummy, dummy, jnp.float32(1.0))
+
+    monkeypatch.setenv("KM_FORCE_FAST_WARP", "1")
+    sharded_k = make_sharded_train_step(net, config, mesh, tx)
+    s0b = TrainState.create(params, tx)
+    _, m_ker = sharded_k(s0b, key, img_f, img_m, dummy, dummy, jnp.float32(1.0))
+
+    assert np.isfinite(float(m_ker["loss"]))
+    assert float(m_ker["loss"]) == pytest.approx(float(m_xla["loss"]), rel=1e-4)
