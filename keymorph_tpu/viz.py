@@ -78,10 +78,19 @@ def imshow_img_and_points_3d(
     points=None,
     weights=None,
     projection: bool = True,
+    slab_thickness: int = 10,
+    rotate_90_deg: int = 0,
     save_path: Optional[str] = None,
 ):
     """3-orthogonal-view plot of a volume with depth-colored keypoints
-    (reference viz_tools.py:159-340)."""
+    (reference viz_tools.py:159-340).
+
+    projection=True overlays every keypoint on each view. projection=False
+    is the reference's SLAB mode: each view shows its center slice and only
+    the keypoints within ``slab_thickness`` voxels of that slice, colored by
+    their depth within the slab (viz_tools.py:185-191). ``rotate_90_deg``
+    rotates the displayed views by k*90 degrees (viz_tools.py:234-236).
+    """
     import matplotlib
 
     matplotlib.use("Agg")
@@ -96,18 +105,40 @@ def imshow_img_and_points_3d(
     axis_pairs = [(1, 2), (0, 2), (0, 1)]
     for k, (ax, view) in enumerate(zip(axes, views)):
         if view is not None:
-            ax.imshow(view, cmap="gray")
+            shown = np.rot90(view, k=rotate_90_deg) if rotate_90_deg else view
+            ax.imshow(shown, cmap="gray")
         ax.set_title(f"view {k}")
         ax.axis("off")
         if pts is not None:
             r_ax, c_ax = axis_pairs[k]
-            shape2d = (
-                view.shape if view is not None else (img.shape[r_ax], img.shape[c_ax])
-            )
             pix = (pts + 1.0) / 2.0 * (np.asarray(img.shape) - 1.0)
-            depth = pts[:, k]
+            depth = pix[:, k]
             sizes = 20 if w is None else 5 + 200 * np.ravel(w) / np.max(w)
-            ax.scatter(pix[:, c_ax], pix[:, r_ax], s=sizes, c=depth, cmap="jet", alpha=0.8)
+            if projection:
+                keep = np.ones(len(pix), bool)
+                colors = pts[:, k]
+            else:
+                # slab mode: points within slab_thickness of the center
+                # slice, colored by in-slab depth
+                center = img.shape[k] // 2
+                keep = np.abs(depth - center) <= slab_thickness / 2.0
+                colors = depth - center
+            if rotate_90_deg:
+                # match np.rot90 of the view: (r, c) -> rotated coords
+                H = img.shape[r_ax]
+                Wd = img.shape[c_ax]
+                rr, cc = pix[:, r_ax], pix[:, c_ax]
+                for _ in range(rotate_90_deg % 4):
+                    rr, cc = Wd - 1 - cc, rr
+                    H, Wd = Wd, H
+            else:
+                rr, cc = pix[:, r_ax], pix[:, c_ax]
+            if np.any(keep):
+                s = sizes if np.isscalar(sizes) else np.asarray(sizes)[keep]
+                ax.scatter(
+                    np.asarray(cc)[keep], np.asarray(rr)[keep], s=s,
+                    c=np.asarray(colors)[keep], cmap="jet", alpha=0.8,
+                )
     fig.tight_layout()
     if save_path:
         fig.savefig(save_path, dpi=120, bbox_inches="tight")

@@ -74,3 +74,20 @@ def test_extract_brain_shapes(rng):
     assert masks.shape == (1, 1, 16, 16, 16)
     assert masks.dtype == np.uint8
     assert set(np.unique(masks)).issubset({0, 1})
+
+
+def test_imshow_points_slab_and_rotation(tmp_path, rng):
+    """Slab mode (projection=False, reference viz_tools.py:185-191) and
+    rotate_90_deg views render with keypoints filtered to the slab."""
+    img = rng.uniform(0, 1, size=(24, 24, 24)).astype("float32")
+    pts = rng.uniform(-0.9, 0.9, size=(32, 3)).astype("float32")
+    p1 = str(tmp_path / "slab.png")
+    viz.imshow_img_and_points_3d(
+        img, pts, projection=False, slab_thickness=6, save_path=p1
+    )
+    p2 = str(tmp_path / "rot.png")
+    viz.imshow_img_and_points_3d(
+        img, pts, projection=True, rotate_90_deg=1, save_path=p2
+    )
+    import os
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
