@@ -150,26 +150,27 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
             if XW < Xp:
                 band2 = pltpu.roll(band2, -x0, 1)[:, :XW]
             # contract band rows against one-hot rows: (R,XW)x(R,B)->(XW,B).
-            # Precision: HIGH (3-pass bf16 splits) by default — ~1 ulp off
-            # the 6-pass HIGHEST the kernel originally used at HALF the MXU
-            # time (the matmul dominates the kernel; PERF.md round 3).
+            # Precision: an explicit 3-pass bf16 hi/lo decomposition —
+            # b·o ≈ bh·oh + bh·ol + bl·oh, error ~2^-32 — at HALF the MXU
+            # time of the 6-pass Precision.HIGHEST originally used (Mosaic
+            # rejects Precision.HIGH, so the split is spelled out).
             # KM_WARP_BF16=1 runs one bf16 pass (band + weights rounded to
             # bf16, fp32 accumulate): ~2x further, ~1e-3 relative error.
+            def _mm(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
             if bf16_mm:
-                tmp = jax.lax.dot_general(
-                    band2.astype(jnp.bfloat16),
-                    oh.astype(jnp.bfloat16),
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                tmp = _mm(band2, oh.astype(jnp.bfloat16))
             else:
-                tmp = jax.lax.dot_general(
-                    band2.astype(jnp.float32),
-                    oh,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGH,
-                )
+                bf = band2.astype(jnp.float32)
+                bh = bf.astype(jnp.bfloat16)
+                bl = (bf - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+                ohh = oh.astype(jnp.bfloat16)
+                ohl = (oh - ohh.astype(jnp.float32)).astype(jnp.bfloat16)
+                tmp = _mm(bh, ohh) + _mm(bh, ohl) + _mm(bl, ohh)
             o = jnp.sum(tmp * hx, axis=0, keepdims=True)  # (1, B)
             out_ref[0, s : s + 1, c * B : (c + 1) * B] = o
 
