@@ -99,24 +99,61 @@ def _single_conv_zc(p: Dict[str, Any], x, num_groups: int, relu=True):
     return conv3d.conv3x3_fused(x, w, scale=scale, shift=shift, bias=bias, relu=relu)
 
 
+@jax.custom_vjp
+def _conv_cl(x, w):
+    """bf16 channel-last 3^3 same-conv, fp32 accumulate: (Z,Y,X,C)->(Z,Y,X,Co).
+
+    The primal keeps bf16 operands (a single MXU pass); a bf16-operand conv
+    with a fp32 preferred_element_type is NOT differentiable (the conv
+    transpose rule rejects the mixed-dtype cotangent), so the VJP reruns the
+    identical arithmetic with operands rounded to bf16 then lifted to fp32
+    (bf16 x bf16 products are exact in fp32) and differentiates that —
+    KM_TRAIN_FAST_EXTRACT gradients flow through here.
+    """
+    return jax.lax.conv_general_dilated(
+        x[None].astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        (1, 1, 1),
+        "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )[0]
+
+
+def _conv_cl_ref(x, w):
+    return jax.lax.conv_general_dilated(
+        x[None].astype(jnp.bfloat16).astype(jnp.float32),
+        w.astype(jnp.bfloat16).astype(jnp.float32),
+        (1, 1, 1),
+        "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )[0]
+
+
+def _conv_cl_fwd(x, w):
+    return _conv_cl(x, w), (x, w)
+
+
+def _conv_cl_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(_conv_cl_ref, x, w)
+    return vjp(g)
+
+
+_conv_cl.defvjp(_conv_cl_fwd, _conv_cl_bwd)
+
+
 def _single_conv_cl(p: Dict[str, Any], x, num_groups: int, relu=True):
     """'gcr'/'cr' SingleConv on channel-last (Z, Y, X, C) via XLA (the deep
     levels, where XLA is already near roofline)."""
-    w = p["Conv_0"]["kernel"].astype(jnp.bfloat16)
     if "GroupNorm_0" in p:
         g = _gn_groups(x.shape[-1], num_groups)
         scale, shift = _gn_affine(
             x, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g, -1
         )
         x = (x.astype(jnp.float32) * scale + shift).astype(jnp.bfloat16)
-    out = jax.lax.conv_general_dilated(
-        x[None].astype(jnp.bfloat16),
-        w,
-        (1, 1, 1),
-        "SAME",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    )[0]
+    out = _conv_cl(x, p["Conv_0"]["kernel"])
     if "GroupNorm_0" not in p and "bias" in p["Conv_0"]:
         out = out + p["Conv_0"]["bias"].astype(jnp.float32)
     if relu:

@@ -39,6 +39,19 @@ RegistrationResult = Dict[str, Dict[str, Any]]
 _TPS_RE = re.compile(r"^tps_(.+)$")
 
 
+def train_extract_net(net: "KeyMorphNet") -> "KeyMorphNet":
+    """Extraction-path policy for the jitted train/pretrain steps.
+
+    Default keeps the flax (channel-last) extraction: the fused conv's VJP
+    backward runs the XLA formulation in kernel layout, whose backward conv
+    layouts are untuned. ``KM_TRAIN_FAST_EXTRACT=1`` opts the training
+    forward onto the fused kernel (tools/train_step_bench.py measures the
+    trade on device).
+    """
+    fast = os.environ.get("KM_TRAIN_FAST_EXTRACT") == "1"
+    return net.clone(fast_extract=fast)
+
+
 def is_supported_transform_type(s: str) -> bool:
     """Parity: reference model.py:134-140."""
     return s in ("affine", "rigid") or bool(_TPS_RE.match(s))

@@ -147,13 +147,18 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, band, s_ref, sem, *,
         o = jnp.broadcast_to(b, (Cout, N)).astype(jnp.float32)
         o = o + jnp.where(lane == 0, c_left, 0.0)
         o = o + jnp.where(lane == X - 1, c_right, 0.0)
+        # one matmul for all 3 dx taps: M = 3*Cout fills the MXU's 128
+        # sublanes where a per-tap M = Cout (16-64 at the hot levels) left
+        # it 12-50% occupied — the difference between the kernel being
+        # matmul-bound and bandwidth-bound at Cout=32
+        y_all = jax.lax.dot_general(
+            wt_ref[...].reshape(3 * Cout, 9 * Cg),
+            s,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3*Cout, N)
         for dx in range(3):
-            y_dx = jax.lax.dot_general(
-                wt_ref[dx],
-                s,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (Cout, N)
+            y_dx = y_all[dx * Cout : (dx + 1) * Cout]
             if dx == 0:
                 # output x gets input x-1: shift contributions right; the
                 # first column of every X-row would wrap — zero it (the

@@ -55,6 +55,19 @@ _TILE = (4, 8, 32)  # (BZ, BY, BX) output voxels per kernel cell
 _WIN = (16, 40, 64)
 
 
+def _tile_config():
+    """(tile, windows), overridable via KM_WARP_TILES="BZ,BY,BX,DZ,YW,XW"
+    (read at trace time; tools/warp_tile_sweep.py uses this). The prepass
+    still guards exactness per call, so a mis-sized override can only cause
+    XLA fallbacks, never wrong results."""
+    forced = os.environ.get("KM_WARP_TILES")
+    if forced:
+        v = [int(t) for t in forced.split(",")]
+        assert len(v) == 6 and v[4] % 8 == 0, v
+        return (v[0], v[1], v[2]), (v[3], v[4], v[5])
+    return _TILE, _WIN
+
+
 _GROUP = 8  # sub-tiles per kernel cell (fills the output block's sublane dim)
 
 
@@ -150,12 +163,15 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
             if XW < Xp:
                 band2 = pltpu.roll(band2, -x0, 1)[:, :XW]
             # contract band rows against one-hot rows: (R,XW)x(R,B)->(XW,B).
-            # Precision: an explicit 3-pass bf16 hi/lo decomposition —
-            # b·o ≈ bh·oh + bh·ol + bl·oh, error ~2^-32 — at HALF the MXU
-            # time of the 6-pass Precision.HIGHEST originally used (Mosaic
-            # rejects Precision.HIGH, so the split is spelled out).
-            # KM_WARP_BF16=1 runs one bf16 pass (band + weights rounded to
-            # bf16, fp32 accumulate): ~2x further, ~1e-3 relative error.
+            # Precision: ONE bf16 matmul of the hi/lo decompositions stacked
+            # on both output dims — lhs [bh|bl] (R, 2XW), rhs [ohh|ohl]
+            # (R, 2B) — whose four (XW, B) blocks sum to the exact product
+            # (b.o = (bh+bl)(ohh+ohl), each bf16 x bf16 product exact in the
+            # fp32 accumulator). vs the original 6-pass HIGHEST: one
+            # dispatch instead of 6, M = 2XW fills the MXU's 128 sublanes,
+            # and 4/6 of the FLOPs. KM_WARP_BF16=1 runs one single-width
+            # pass (band + weights rounded to bf16, fp32 accumulate):
+            # ~2x further, ~1e-3 relative error.
             def _mm(a, b):
                 return jax.lax.dot_general(
                     a, b, (((0,), (0,)), ((), ())),
@@ -170,7 +186,13 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
                 bl = (bf - bh.astype(jnp.float32)).astype(jnp.bfloat16)
                 ohh = oh.astype(jnp.bfloat16)
                 ohl = (oh - ohh.astype(jnp.float32)).astype(jnp.bfloat16)
-                tmp = _mm(bh, ohh) + _mm(bh, ohl) + _mm(bl, ohh)
+                q = _mm(
+                    jnp.concatenate([bh, bl], axis=1),
+                    jnp.concatenate([ohh, ohl], axis=1),
+                )  # (2XW, 2B)
+                tmp = (
+                    q[:XW, :B] + q[:XW, B:] + q[XW:, :B] + q[XW:, B:]
+                )
             o = jnp.sum(tmp * hx, axis=0, keepdims=True)  # (1, B)
             out_ref[0, s : s + 1, c * B : (c + 1) * B] = o
 
@@ -205,7 +227,8 @@ def _warp_pallas(img, planes, *, nearest, interpret):
     C = img.shape[0]
     src_spatial = tuple(int(s) for s in img.shape[1:])
     out_spatial = tuple(int(s) for s in planes.shape[1:])
-    BZ, BY, BX = _TILE
+    tile, win = _tile_config()
+    BZ, BY, BX = tile
     B = BZ * BY * BX
 
     # The band DMA needs a lane-aligned X (whole rows are copied) and a
@@ -219,13 +242,13 @@ def _warp_pallas(img, planes, *, nearest, interpret):
             img,
             [(0, 0), (0, 0), (0, pad_spatial[1] - Y), (0, pad_spatial[2] - X)],
         )
-    DZ = min(_WIN[0], Z)
-    YW = min(_WIN[1], pad_spatial[1])
-    XW = min(_WIN[2], pad_spatial[2])
+    DZ = min(win[0], Z)
+    YW = min(win[1], pad_spatial[1])
+    XW = min(win[2], pad_spatial[2])
     num_tiles = (
         (out_spatial[0] // BZ) * (out_spatial[1] // BY) * (out_spatial[2] // BX)
     )
-    planes_t = _tile_planes(planes.astype(jnp.float32), _TILE)
+    planes_t = _tile_planes(planes.astype(jnp.float32), tile)
     bf16_mm = os.environ.get("KM_WARP_BF16") == "1"
     band_dtype = jnp.bfloat16 if bf16_mm else jnp.float32
 
@@ -258,7 +281,7 @@ def _warp_pallas(img, planes, *, nearest, interpret):
         ],
         interpret=interpret,
     )(planes_t, img.astype(band_dtype))
-    return _untile_output(out_tiled, out_spatial, _TILE, C)
+    return _untile_output(out_tiled, out_spatial, tile, C)
 
 
 def _tile_spans_fit(planes, src_spatial, *, nearest):
@@ -267,7 +290,7 @@ def _tile_spans_fit(planes, src_spatial, *, nearest):
     planes: (3, D, H, W). Returns a scalar bool. Pure reductions — no gather.
     """
     D, H, W = (int(s) for s in planes.shape[1:])
-    BZ, BY, BX = _TILE
+    (BZ, BY, BX), win = _tile_config()
     p = planes.astype(jnp.float32).reshape(3, D // BZ, BZ, H // BY, BY, W // BX, BX)
     sizes = jnp.asarray(src_spatial, jnp.float32).reshape(3, 1, 1, 1)
     v = ((p + 1.0) * sizes[..., None, None, None] - 1.0) * 0.5
@@ -285,9 +308,9 @@ def _tile_spans_fit(planes, src_spatial, *, nearest):
     Z, Y, X = src_spatial
     wins = jnp.asarray(
         [
-            min(_WIN[0], Z),
-            min(_WIN[1], _round_up(Y, 8)),
-            min(_WIN[2], _round_up(X, 128)),
+            min(win[0], Z),
+            min(win[1], _round_up(Y, 8)),
+            min(win[2], _round_up(X, 128)),
         ],
         jnp.float32,
     ).reshape(3, 1, 1, 1)
@@ -296,7 +319,7 @@ def _tile_spans_fit(planes, src_spatial, *, nearest):
 
 def _shapes_eligible(img_shape, out_spatial):
     """Static check: can the kernel be instantiated for these shapes?"""
-    BZ, BY, BX = _TILE
+    (BZ, BY, BX), _ = _tile_config()
     D, H, W = out_spatial
     Z, Y, X = img_shape[2:]
     num_tiles = (D // BZ) * (H // BY) * (W // BX) if min(D, H, W) > 0 else 0
@@ -337,13 +360,13 @@ _BAND_VMEM_BUDGET = 4 * 2**20
 
 def _max_band_channels(src_spatial):
     Z, Y, X = src_spatial
-    DZ = min(_WIN[0], Z)
-    YW = min(_WIN[1], _round_up(Y, 8))
+    (BZ, BY, BX), win = _tile_config()
+    DZ = min(win[0], Z)
+    YW = min(win[1], _round_up(Y, 8))
     Xp = _round_up(X, 128)
     R = DZ * YW
-    BZ, BY, BX = _TILE
     B = BZ * BY * BX
-    XW = min(_WIN[2], Xp)
+    XW = min(win[2], Xp)
     per_channel = (2 * DZ * YW * Xp + R * Xp + B * (XW + 2 * _GROUP)) * 4
     return max(1, _BAND_VMEM_BUDGET // per_channel)
 

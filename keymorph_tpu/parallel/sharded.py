@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from keymorph_tpu import augment
 from keymorph_tpu.losses import mse_loss, soft_dice_loss
 from keymorph_tpu.models.keymorph import (
+    train_extract_net,
     KeyMorphNet,
     align_pair,
     parse_transform_type,
@@ -63,9 +64,7 @@ def make_sharded_train_step(net: KeyMorphNet, config: Config, mesh: Mesh, tx=Non
             check_vma=False,  # pallas_call emits un-annotated out avals
         )(grid, img)
 
-    # training keeps the flax extraction path: the Pallas conv's VJP
-    # backward runs untuned XLA layouts (see KeyMorphNet.fast_extract)
-    net = net.clone(fast_extract=False)
+    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
     tx = tx or make_optimizer(config)
     align_type, lmbda_spec = parse_transform_type(config.transform_type)
     use_dice = config.loss_fn == "dice"

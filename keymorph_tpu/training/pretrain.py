@@ -22,7 +22,7 @@ import optax
 
 from keymorph_tpu import augment
 from keymorph_tpu.losses import mse_loss
-from keymorph_tpu.models.keymorph import KeyMorphNet
+from keymorph_tpu.models.keymorph import KeyMorphNet, train_extract_net
 from keymorph_tpu.ops import coords as Coords
 from keymorph_tpu.training.config import Config
 from keymorph_tpu.training.train import TrainState, aggregate_dicts, make_optimizer
@@ -39,9 +39,7 @@ def make_pretrain_step(net: KeyMorphNet, config: Config, tx=None):
     In rw mode ``ref_points`` are real-world coordinates and ``aff`` is the
     subject's (d+1, d+1) voxel->world affine (batched (B, d+1, d+1)).
     """
-    # training keeps the flax extraction path: the Pallas conv's VJP
-    # backward runs untuned XLA layouts (see KeyMorphNet.fast_extract)
-    net = net.clone(fast_extract=False)
+    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
     tx = tx or make_optimizer(config)
     max_params = (0.2, 0.2, 3.1416, 0.1)  # pretrain.py:52 defaults
     rw = bool(getattr(config, "align_keypoints_in_real_world_coords", False))

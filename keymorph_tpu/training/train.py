@@ -23,6 +23,7 @@ from flax import struct
 from keymorph_tpu import augment
 from keymorph_tpu.losses import mse_loss, soft_dice_loss
 from keymorph_tpu.models.keymorph import (
+    train_extract_net,
     KeyMorphNet,
     align_pair,
     parse_transform_type,
@@ -65,9 +66,7 @@ def make_train_step(net: KeyMorphNet, config: Config, tx=None):
     train.py:99-100 ``aff_m = aff_m @ aug_affine``) and the solver fits in
     scanner space (train.py:129-137 passing aff_f/aff_m into the model).
     """
-    # training keeps the flax extraction path: the Pallas conv's VJP
-    # backward runs untuned XLA layouts (see KeyMorphNet.fast_extract)
-    net = net.clone(fast_extract=False)
+    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
     tx = tx or make_optimizer(config)
     align_type, lmbda_spec = parse_transform_type(config.transform_type)
     use_dice = config.loss_fn == "dice"
@@ -169,9 +168,7 @@ def make_kpconsistency_step(net: KeyMorphNet, config: Config, tx=None):
     kpconsistency_coeff at run.py:96-101); here it's a working jitted step:
         loss = coeff * MSE(points(sub1_aug), points(sub2_aug)).
     """
-    # training keeps the flax extraction path: the Pallas conv's VJP
-    # backward runs untuned XLA layouts (see KeyMorphNet.fast_extract)
-    net = net.clone(fast_extract=False)
+    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
     tx = tx or make_optimizer(config)
     coeff = config.kpconsistency_coeff
 
@@ -208,9 +205,7 @@ def make_train_step_sameres(net: KeyMorphNet, config: Config, tx=None):
     The step signature matches make_train_step; img/seg arrive at their
     original (static per-dataset) resolution.
     """
-    # training keeps the flax extraction path: the Pallas conv's VJP
-    # backward runs untuned XLA layouts (see KeyMorphNet.fast_extract)
-    net = net.clone(fast_extract=False)
+    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
     tx = tx or make_optimizer(config)
     align_type, lmbda_spec = parse_transform_type(config.transform_type)
     use_dice = config.loss_fn == "dice"

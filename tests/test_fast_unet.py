@@ -122,3 +122,55 @@ def test_fast_extract_ineligible_volume_routes_channel_last(rng):
     params = net.init(jax.random.PRNGKey(0), img, img)
     pts = net.apply(params, img, method=KeyMorphNet.get_keypoints)
     assert np.all(np.isfinite(np.asarray(pts)))
+
+
+def test_train_extract_net_env_opt_in(monkeypatch):
+    """Training factories keep the flax path by default;
+    KM_TRAIN_FAST_EXTRACT=1 opts the train-step forward onto the kernel."""
+    from keymorph_tpu.models.keymorph import train_extract_net
+
+    net = KeyMorphNet(
+        backbone=_mk_backbone(), num_keypoints=8, compute_dtype=jnp.bfloat16
+    )
+    monkeypatch.delenv("KM_TRAIN_FAST_EXTRACT", raising=False)
+    assert train_extract_net(net).fast_extract is False
+    monkeypatch.setenv("KM_TRAIN_FAST_EXTRACT", "1")
+    assert train_extract_net(net).fast_extract is True
+
+
+@pytest.mark.slow
+def test_train_step_through_fast_extract(rng, monkeypatch):
+    """A train step with the fused-kernel forward (custom-VJP backward)
+    yields finite, decreasing loss on an eligible volume."""
+    from keymorph_tpu.training.config import Config
+    from keymorph_tpu.training.train import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    monkeypatch.setenv("KM_TRAIN_FAST_EXTRACT", "1")
+    net = KeyMorphNet(
+        backbone=_mk_backbone(), num_keypoints=8, compute_dtype=jnp.bfloat16
+    )
+    config = Config(
+        num_keypoints=8, transform_type="affine", loss_fn="mse", lr=1e-3,
+        max_random_affine_augment_params=(0.1, 0.1, 0.5, 0.05),
+        max_train_keypoints=None,
+    )
+    img_f = jnp.asarray(rng.uniform(0, 1, size=(1, 1, 16, 16, 128)).astype(np.float32))
+    img_m = jnp.asarray(rng.uniform(0, 1, size=(1, 1, 16, 16, 128)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), img_f, img_m)
+    tx = make_optimizer(config)
+    state = TrainState.create(params, tx)
+    step = make_train_step(net, config, tx)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(4):
+        key, sub = jax.random.split(key)
+        state, m = step(
+            state, sub, img_f, img_m, None, None, jnp.float32(0.0)
+        )
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0]
