@@ -27,6 +27,7 @@ same network this re-executes); SURVEY §7's "keep the MXU busy" rule.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -62,20 +63,26 @@ def _gn_groups(c: int, num_groups: int) -> int:
     return next(g for g in range(num_groups, 0, -1) if c % g == 0)
 
 
-def _gn_affine(x, gamma, beta, groups, channel_axis):
-    """Per-channel (scale, shift) equivalent of GroupNorm once stats are
-    known. Stats in fp32 (flax normalization default), eps 1e-5 (torch).
+def _channel_stats(x, channel_axis):
+    """Per-channel fp32 (mean, mean-square) over all non-channel axes.
 
-    Computed as per-CHANNEL mean / mean-square reductions first (no
-    transpose of the volume), then aggregated over each (equal-sized)
-    group — algebraically identical to the group statistics.
+    Layout-invariant (a transpose does not change per-channel stats) and
+    upsample-invariant (nearest x2 repeats every element 8x, leaving the
+    mean and mean-square unchanged) — the decoder exploits both to compute
+    its GroupNorm stats on the SMALL pre-upsample / pre-transpose tensors.
     """
-    C = x.shape[channel_axis]
-    cg = C // groups
     xf = x.astype(jnp.float32)
     axes = tuple(a for a in range(x.ndim) if a != (channel_axis % x.ndim))
-    mean_c = jnp.mean(xf, axis=axes)  # (C,)
-    msq_c = jnp.mean(jnp.square(xf), axis=axes)
+    return jnp.mean(xf, axis=axes), jnp.mean(jnp.square(xf), axis=axes)
+
+
+def _gn_affine_from_stats(stats, gamma, beta, groups):
+    """(scale, shift) from per-channel (mean, msq): aggregate each
+    (equal-sized) group — algebraically identical to group statistics.
+    Stats in fp32 (flax normalization default), eps 1e-5 (torch)."""
+    mean_c, msq_c = stats
+    C = mean_c.shape[0]
+    cg = C // groups
     mean_g = jnp.mean(mean_c.reshape(groups, cg), axis=1)
     var_g = jnp.mean(msq_c.reshape(groups, cg), axis=1) - jnp.square(mean_g)
     inv_g = jax.lax.rsqrt(var_g + 1e-5)
@@ -85,14 +92,26 @@ def _gn_affine(x, gamma, beta, groups, channel_axis):
     return scale, shift
 
 
-def _single_conv_zc(p: Dict[str, Any], x, num_groups: int, relu=True):
-    """'gcr'/'cr' SingleConv on (Z, C, Y, X) via the fused kernel."""
+def _gn_affine(x, gamma, beta, groups, channel_axis):
+    """Per-channel (scale, shift) equivalent of GroupNorm on x."""
+    return _gn_affine_from_stats(
+        _channel_stats(x, channel_axis), gamma, beta, groups
+    )
+
+
+def _single_conv_zc(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None):
+    """'gcr'/'cr' SingleConv on (Z, C, Y, X) via the fused kernel.
+
+    ``stats``: optional precomputed per-channel (mean, msq) for the
+    GroupNorm — the decoder supplies stats computed on the pre-upsample /
+    pre-transpose tensors (see :func:`_channel_stats`)."""
     w = p["Conv_0"]["kernel"]
     scale = shift = bias = None
     if "GroupNorm_0" in p:
         g = _gn_groups(x.shape[1], num_groups)
-        scale, shift = _gn_affine(
-            x, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g, 1
+        scale, shift = _gn_affine_from_stats(
+            stats if stats is not None else _channel_stats(x, 1),
+            p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g,
         )
     else:
         bias = p["Conv_0"].get("bias")
@@ -144,13 +163,14 @@ def _conv_cl_bwd(res, g):
 _conv_cl.defvjp(_conv_cl_fwd, _conv_cl_bwd)
 
 
-def _single_conv_cl(p: Dict[str, Any], x, num_groups: int, relu=True):
+def _single_conv_cl(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None):
     """'gcr'/'cr' SingleConv on channel-last (Z, Y, X, C) via XLA (the deep
     levels, where XLA is already near roofline)."""
     if "GroupNorm_0" in p:
         g = _gn_groups(x.shape[-1], num_groups)
-        scale, shift = _gn_affine(
-            x, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g, -1
+        scale, shift = _gn_affine_from_stats(
+            stats if stats is not None else _channel_stats(x, -1),
+            p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g,
         )
         x = (x.astype(jnp.float32) * scale + shift).astype(jnp.bfloat16)
     out = _conv_cl(x, p["Conv_0"]["kernel"])
@@ -161,20 +181,58 @@ def _single_conv_cl(p: Dict[str, Any], x, num_groups: int, relu=True):
     return out.astype(jnp.bfloat16)
 
 
-def _double_conv(p, x, fast: bool, num_groups: int):
+def _double_conv(p, x, fast: bool, num_groups: int, stats0=None):
     sc = _single_conv_zc if fast else _single_conv_cl
-    x = sc(p["SingleConv_0"], x, num_groups)
+    x = sc(p["SingleConv_0"], x, num_groups, stats=stats0)
     return sc(p["SingleConv_1"], x, num_groups)
 
 
+def _maxpool2_reshape(x, window):
+    """Reference 2x max-pool formulation (reshape + multi-axis max)."""
+    shape = []
+    axes = []
+    for i, (s, w) in enumerate(zip(x.shape, window)):
+        if w == 2:
+            shape.extend([s // 2, 2])
+            axes.append(len(shape) - 1)
+        else:
+            shape.append(s)
+    return jnp.max(x.reshape(shape), axis=tuple(axes))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _maxpool2_rw(x, window):
+    """2x max-pool via lax.reduce_window — 3.1 ms vs 22.9 ms for the
+    reshape+max lowering on the l1 (256,32,256,256) bf16 tensor (the
+    7-d reshape forces an 8.9 ms layout copy plus a 13 ms minor-dim
+    reduce; the native pooling window avoids both). Identical values;
+    the VJP differentiates the reshape formulation instead (its gather-free
+    scatter beats SelectAndScatter)."""
+    return jax.lax.reduce_window(
+        x,
+        jnp.array(-jnp.inf, x.dtype),
+        jax.lax.max,
+        window,
+        window,
+        "VALID",
+    )
+
+
+def _maxpool2_rw_fwd(x, window):
+    return _maxpool2_rw(x, window), x
+
+
+def _maxpool2_rw_bwd(window, x, g):
+    _, vjp = jax.vjp(lambda v: _maxpool2_reshape(v, window), x)
+    return vjp(g)
+
+
+_maxpool2_rw.defvjp(_maxpool2_rw_fwd, _maxpool2_rw_bwd)
+
+
 def _maxpool2(x, fast: bool):
-    if fast:  # (Z, C, Y, X)
-        Z, C, Y, X = x.shape
-        x = x.reshape(Z // 2, 2, C, Y // 2, 2, X // 2, 2)
-        return jnp.max(x, axis=(1, 4, 6))
-    Z, Y, X, C = x.shape
-    x = x.reshape(Z // 2, 2, Y // 2, 2, X // 2, 2, C)
-    return jnp.max(x, axis=(1, 3, 5))
+    window = (2, 1, 2, 2) if fast else (2, 2, 2, 1)  # (Z,C,Y,X) / (Z,Y,X,C)
+    return _maxpool2_rw(x, window)
 
 
 def _upsample2(x, fast: bool):
@@ -253,6 +311,20 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
         enc_list = skips[:-1][::-1]
         for i in range(num_decoders):
             enc, enc_fast = enc_list[i]
+            dc = params[f"DoubleConv_{L + i}"]
+            # GroupNorm stats for the first conv, computed on the SMALL
+            # pre-upsample / pre-transpose tensors: nearest x2 repeats every
+            # element 8x (mean/msq unchanged) and stats are layout-invariant,
+            # so the concat's stats are the concat of the parts' stats —
+            # this keeps the big upsample+concat tensor out of any reduce.
+            stats0 = None
+            if "GroupNorm_0" in dc["SingleConv_0"]:
+                s_enc = _channel_stats(enc, 1 if enc_fast else -1)
+                s_x = _channel_stats(x, 1 if fast else -1)
+                stats0 = (
+                    jnp.concatenate([s_enc[0], s_x[0]]),
+                    jnp.concatenate([s_enc[1], s_x[1]]),
+                )
             if fast and not enc_fast:
                 x = _to_cl(x)
                 fast = False
@@ -265,7 +337,7 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
                 x = jnp.concatenate([enc, x], axis=1)
             else:
                 x = jnp.concatenate([enc, x], axis=-1)
-            x = _double_conv(params[f"DoubleConv_{L + i}"], x, fast, num_groups)
+            x = _double_conv(dc, x, fast, num_groups, stats0=stats0)
 
         # final 1x1 conv as a channel matmul (XLA's conv lowering of the
         # 1x1 measured 2.2 TFLOPS; the einsum lowers as a clean matmul)
