@@ -161,7 +161,16 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
         for c in range(channels):
             band2 = band[slot, c].reshape(R, Xp)
             if XW < Xp:
-                band2 = pltpu.roll(band2, -x0, 1)[:, :XW]
+                # Mosaic's dynamic_rotate is 32-bit only (bf16 crashes the
+                # server-side compile: "Rotate with non-32-bit data"), so
+                # the bf16 band rolls through f32 — the DMA stays halved,
+                # which is the bf16 mode's point.
+                if band2.dtype != jnp.float32:
+                    band2 = pltpu.roll(
+                        band2.astype(jnp.float32), -x0, 1
+                    )[:, :XW].astype(band2.dtype)
+                else:
+                    band2 = pltpu.roll(band2, -x0, 1)[:, :XW]
             # contract band rows against one-hot rows: (R,XW)x(R,B)->(XW,B).
             # Precision: ONE bf16 matmul of the hi/lo decompositions stacked
             # on both output dims — lhs [bh|bl] (R, 2XW), rhs [ohh|ohl]

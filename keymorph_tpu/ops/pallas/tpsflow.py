@@ -1,0 +1,196 @@
+"""Fused TPS dense-flow Pallas kernel.
+
+Evaluating a fitted thin-plate spline on a dense grid is the third-largest
+stage of a 256^3 registration (~34 ms device time). The XLA chunked path
+(`solvers.tps_eval_chunked`) materializes the (T, chunk) RBF matrix to HBM
+between the radial-basis fusion and the contraction dot — at 256^3 with
+T=128 control points that is a 1.07 GB round-trip per flow field
+(trace-verified: `multiply_reduce_fusion` writes f32[128, 2097152], the
+following `fusion` reads it back), because XLA does not fuse producers into
+dot operands on TPU.
+
+This kernel keeps the RBF matrix in VMEM: per tile of NT grid points it
+
+  * computes squared distances (Tp, NT) from a lane-resident points block
+    (8, NT) and a sublane-resident control block (Tp, 128) — pure VPU
+    broadcasts, no (T, N, 3) intermediate;
+  * applies U(r) = r^2 log(r + eps) in-register (the reference RBF,
+    keypoint_aligners.py:336-339, with the same eps order as
+    `solvers.tps_pairwise_dist`/`tps_rbf`);
+  * contracts with the spline weights on the MXU — bf16 hi/lo
+    decompositions stacked on both output dims (the warp kernel's
+    single-dispatch trick; Mosaic lowers a plain f32 matmul as one bf16
+    pass, 0.12 relative error measured) — and adds the affine part as
+    exact fp32 VPU broadcasts.
+
+All padding rows/columns carry zero weights so they contribute exactly
+nothing. fp32 throughout (geometry precision rule, solvers.py:21).
+
+Eligibility: d == 3 and N divisible by the tile width (dense grids >= 64^3
+always are); other shapes fall back to the XLA formulation. The custom VJP
+also falls back to XLA (the kernel serves the inference flow; training
+evaluates TPS unchunked through `tps_eval`). `KM_NO_FAST_TPS=1` disables
+the kernel.
+
+Parity: reference `TPS.transform_points`/`compute_on_subgrids`
+(keypoint_aligners.py:365-433); tolerance-tested against the XLA path in
+tests/test_tpsflow_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS_DIST = 1e-6  # keep in sync with solvers._EPS_DIST
+_EPS_LOG = 1e-6  # keep in sync with solvers._EPS_LOG
+
+_NT = 2048  # grid points per tile (lane axis; multiple of 128)
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+def _kernel(ctrl_ref, wgt_ref, aff_ref, pts_ref, out_ref, *, Tp, NT):
+    """One (b, tile) cell: moved[8, NT] from ctrl/wgt/affine + points tile.
+
+    ctrl_ref: (1, Tp, 128) f32 — control points, dim k in lane-column k.
+    wgt_ref:  (1, 8, Tp)  f32 — spline weights transposed, row k = out dim k.
+    aff_ref:  (1, 8, 8)   f32 — affine transposed: column j in 0..2 scales
+              point dim j, column 3 is the constant term.
+    pts_ref:  (1, 8, NT)  f32 — points tile transposed, row k = dim k,
+              rows 3..7 sublane padding.
+    out_ref:  (1, 8, NT)  f32 — rows 0..2 the moved coordinates.
+    """
+    pts = pts_ref[0]  # (8, NT)
+    ctrl = ctrl_ref[0]  # (Tp, 128)
+
+    # squared distances: sum_k (ctrl[t, k] - pts[k, n])^2  -> (Tp, NT)
+    sq = jnp.zeros((Tp, NT), jnp.float32)
+    for k in range(3):
+        diff = ctrl[:, k : k + 1] - pts[k : k + 1, :]  # (Tp, NT) broadcast
+        sq = sq + diff * diff
+    # same op order as solvers.tps_pairwise_dist/tps_rbf
+    r = jnp.sqrt(sq + _EPS_DIST)
+    U = r * r * jnp.log(r + _EPS_LOG)  # (Tp, NT)
+
+    # RBF contraction on the MXU. Mosaic lowers an f32 matmul single-pass
+    # (bf16 multiplies — 0.12 relative error measured on the flow), so run
+    # the bf16 hi/lo decompositions stacked on both output dims (the warp
+    # kernel's trick, resample3d.py): the four (8, NT) blocks of
+    # [wh|wl] x [Uh|Ul] sum to the ~16-bit-mantissa product.
+    wgt = wgt_ref[0]  # (8, Tp) f32
+    wh = wgt.astype(jnp.bfloat16)
+    wl = (wgt - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    Uh = U.astype(jnp.bfloat16)
+    Ul = (U - Uh.astype(jnp.float32)).astype(jnp.bfloat16)
+    q = jax.lax.dot_general(
+        jnp.concatenate([wh, wl], axis=0),  # (16, Tp)
+        jnp.concatenate([Uh, Ul], axis=1),  # (Tp, 2*NT)
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (16, 2*NT)
+    b = q[:8, :NT] + q[:8, NT:] + q[8:, :NT] + q[8:, NT:]
+
+    # Affine part in exact fp32 on the VPU: (8,1) x (1,NT) broadcasts —
+    # coordinates must not round to bf16 (0.4% position error otherwise).
+    aff = aff_ref[0]  # (8, 8)
+    z = jnp.broadcast_to(aff[:, 3:4], (8, NT))  # constant term
+    for j in range(3):
+        z = z + aff[:, j : j + 1] * pts[j : j + 1, :]
+    out_ref[0] = b + z
+
+
+def _tps_flow_pallas(ctrl_cols, wgt_t, aff_t, pts_t, *, interpret):
+    """pts_t: (B, 8, N) padded/augmented points. Returns (B, 8, N) f32."""
+    B, _, N = pts_t.shape
+    Tp = ctrl_cols.shape[1]
+    grid = (B, N // _NT)
+    return pl.pallas_call(
+        functools.partial(_kernel, Tp=Tp, NT=_NT),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Tp, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Tp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _NT), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, _NT), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 8, N), jnp.float32),
+        interpret=interpret,
+    )(ctrl_cols, wgt_t, aff_t, pts_t)
+
+
+def tps_flow_eligible(points) -> bool:
+    """Static eligibility for the fused kernel (shape-only)."""
+    if os.environ.get("KM_NO_FAST_TPS"):
+        return False
+    B, N, d = points.shape
+    return d == 3 and N % _NT == 0
+
+
+def _xla_eval(theta, ctrl, points):
+    from keymorph_tpu.transforms import solvers
+
+    return solvers.tps_eval(theta, ctrl, points)
+
+
+@jax.custom_vjp
+def _tps_flow(theta, ctrl, points):
+    B, N, d = points.shape
+    T = ctrl.shape[1]
+    Tp = _round_up(T, 128)
+
+    wgt = theta[:, : -(d + 1), :].astype(jnp.float32)  # (B, T, 3)
+    affine = theta[:, -(d + 1) :, :].astype(jnp.float32)  # (B, 4, 3)
+    ctrl = ctrl.astype(jnp.float32)
+    points = points.astype(jnp.float32)
+
+    # ctrl_cols: (B, Tp, 128), dim k in lane-column k; padded rows sit at
+    # the origin but their weight columns are zero so they cancel exactly.
+    ctrl_cols = jnp.zeros((B, Tp, 128), jnp.float32)
+    ctrl_cols = ctrl_cols.at[:, :T, :3].set(ctrl)
+
+    # wgt_t: (B, 8, Tp), row k = output dim k of the spline weights.
+    wgt_t = jnp.zeros((B, 8, Tp), jnp.float32)
+    wgt_t = wgt_t.at[:, :3, :T].set(jnp.swapaxes(wgt, 1, 2))
+
+    # aff_t: (B, 8, 8). Row k contracts points-block lane j: j in 0..2 the
+    # point dims (affine[:, 1:]), j == 3 the constant row (affine[:, 0]).
+    aff_t = jnp.zeros((B, 8, 8), jnp.float32)
+    aff_t = aff_t.at[:, :3, :3].set(jnp.swapaxes(affine[:, 1:], 1, 2))
+    aff_t = aff_t.at[:, :3, 3].set(jnp.swapaxes(affine[:, :1], 1, 2)[..., 0])
+
+    # pts_t: (B, 8, N) — rows 0..2 the coords, rows 3..7 sublane padding
+    # (one pad op; the affine constant term is a broadcast in-kernel).
+    pts_t = jnp.pad(jnp.swapaxes(points, 1, 2), ((0, 0), (0, 5), (0, 0)))
+
+    interpret = jax.default_backend() == "cpu"
+    out = _tps_flow_pallas(ctrl_cols, wgt_t, aff_t, pts_t, interpret=interpret)
+    return jnp.swapaxes(out[:, :3], 1, 2)  # (B, N, 3)
+
+
+def _tps_flow_fwd(theta, ctrl, points):
+    return _tps_flow(theta, ctrl, points), (theta, ctrl, points)
+
+
+def _tps_flow_bwd(res, g):
+    theta, ctrl, points = res
+    _, vjp = jax.vjp(_xla_eval, theta, ctrl, points)
+    return vjp(g)
+
+
+_tps_flow.defvjp(_tps_flow_fwd, _tps_flow_bwd)
+
+
+def tps_flow(theta, ctrl, points):
+    """Fused dense TPS evaluation; same contract as `solvers.tps_eval`."""
+    return _tps_flow(theta, ctrl, points)

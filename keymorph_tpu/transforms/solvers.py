@@ -274,8 +274,20 @@ def tps_eval_chunked(theta, ctrl, points, num_chunks=4):
     (T x chunk) RBF matrix never exceeds the chunk budget.
 
     N must be divisible by num_chunks (dense grids are; pad otherwise).
+
+    Dense 3D grids route through the fused Pallas kernel
+    (`ops.pallas.tpsflow`): it keeps the (T, chunk) RBF matrix in VMEM
+    instead of XLA's 1.07 GB HBM round-trip at 256^3, so no chunking is
+    needed at all. Ineligible shapes (or `KM_NO_FAST_TPS=1`) fall back to
+    the chunked XLA formulation below.
     """
+    from keymorph_tpu.ops.pallas import tpsflow
+
     B, N, d = points.shape
+    if num_chunks > 1 and tpsflow.tps_flow_eligible(points):
+        # num_chunks > 1 marks the inference flow (training evaluates
+        # unchunked and wants native autodiff, keymorph.py ~:269)
+        return tpsflow.tps_flow(theta, ctrl, points)
     if num_chunks <= 1 or N % num_chunks != 0:
         return tps_eval(theta, ctrl, points)
     chunk = N // num_chunks
