@@ -89,6 +89,11 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
     band:       (2, C, DZ, YW, Xp) double buffer: sub-tile s+1's DMA runs
                 while s computes.
     """
+    # KM_WARP_ABLATE (perf attribution only; most modes give WRONG results):
+    #   nodma  - skip the band DMAs          nooh  - constant trilerp weights
+    #   noroll - skip the x-window roll      nomm  - skip roll+matmul
+    #   cheapoh - separable weight build (correct; candidate optimization)
+    ablate = os.environ.get("KM_WARP_ABLATE", "")
     Z, Y, X = src_spatial  # true dims: coordinate math and border clamping
     _, Yp, Xp = pad_spatial  # HBM memref dims (lane/sublane aligned)
     DZ, YW, XW = windows
@@ -135,7 +140,8 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
         )
 
     st = [starts(s) for s in range(_GROUP)]
-    dma(0, 0, st[0][3], st[0][4]).start()
+    if ablate != "nodma":
+        dma(0, 0, st[0][3], st[0][4]).start()
 
     r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     rz = (r // YW).astype(jnp.float32)
@@ -145,22 +151,42 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
     for s in range(_GROUP):
         vz, vy, vx, z0, y0, x0 = st[s]
         slot = s % 2
-        if s + 1 < _GROUP:
+        if ablate != "nodma" and s + 1 < _GROUP:
             dma(s + 1, (s + 1) % 2, st[s + 1][3], st[s + 1][4]).start()
 
         zl = vz - z0.astype(jnp.float32)  # (1, B)
         yl = vy - y0.astype(jnp.float32)
         xl = vx - x0.astype(jnp.float32)
         # hat(t) = max(0, 1 - |t|): exactly the two trilinear corner weights
-        oh = jnp.maximum(0.0, 1.0 - jnp.abs(rz - zl)) * jnp.maximum(
-            0.0, 1.0 - jnp.abs(ry - yl)
-        )  # (R, B)
+        if ablate == "nooh":
+            oh = jnp.full((R, B), 0.25, jnp.float32) + zl
+        elif ablate == "cheapoh":
+            # separable build: hats on the two small axes (DZ+YW rows), then
+            # an outer-product expansion — O(DZ*B + YW*B) hat math instead
+            # of O(R*B), plus two relayout copies and one multiply at (R, B)
+            zi = jax.lax.broadcasted_iota(jnp.int32, (DZ, 1), 0).astype(jnp.float32)
+            yi = jax.lax.broadcasted_iota(jnp.int32, (YW, 1), 0).astype(jnp.float32)
+            hz = jnp.maximum(0.0, 1.0 - jnp.abs(zi - zl))  # (DZ, B)
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(yi - yl))  # (YW, B)
+            oh = jnp.repeat(hz, YW, axis=0) * jnp.tile(hy, (DZ, 1))  # (R, B)
+        else:
+            oh = jnp.maximum(0.0, 1.0 - jnp.abs(rz - zl)) * jnp.maximum(
+                0.0, 1.0 - jnp.abs(ry - yl)
+            )  # (R, B)
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(cxi - xl))  # (XW, B)
 
-        dma(s, slot, z0, y0).wait()
+        if ablate != "nodma":
+            dma(s, slot, z0, y0).wait()
         for c in range(channels):
+            if ablate == "nomm":
+                out_ref[0, s : s + 1, c * B : (c + 1) * B] = jnp.sum(
+                    hx, axis=0, keepdims=True
+                ) + jnp.sum(oh, axis=0, keepdims=True)
+                continue
             band2 = band[slot, c].reshape(R, Xp)
-            if XW < Xp:
+            if ablate == "noroll":
+                band2 = band2[:, :XW]
+            elif XW < Xp:
                 # Mosaic's dynamic_rotate is 32-bit only (bf16 crashes the
                 # server-side compile: "Rotate with non-32-bit data"), so
                 # the bf16 band rolls through f32 — the DMA stays halved,
