@@ -93,6 +93,7 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
     #   nodma  - skip the band DMAs          nooh  - constant trilerp weights
     #   noroll - skip the x-window roll      nomm  - skip roll+matmul
     #   cheapoh - separable weight build (correct; candidate optimization)
+    #   mxuoh - MXU-expanded weight build (bf16 hats; candidate optimization)
     ablate = os.environ.get("KM_WARP_ABLATE", "")
     Z, Y, X = src_spatial  # true dims: coordinate math and border clamping
     _, Yp, Xp = pad_spatial  # HBM memref dims (lane/sublane aligned)
@@ -160,6 +161,28 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
         # hat(t) = max(0, 1 - |t|): exactly the two trilinear corner weights
         if ablate == "nooh":
             oh = jnp.full((R, B), 0.25, jnp.float32) + zl
+        elif ablate == "mxuoh":
+            # hats on the small axes, expanded to (R, B) by one-hot MXU
+            # matmuls (bf16 hats, ~1e-3 — same class as KM_WARP_BF16);
+            # trades the O(R*B) VPU hat math for 2 small matmuls + 1 multiply
+            zi = jax.lax.broadcasted_iota(jnp.int32, (DZ, 1), 0).astype(jnp.float32)
+            yi = jax.lax.broadcasted_iota(jnp.int32, (YW, 1), 0).astype(jnp.float32)
+            hz = jnp.maximum(0.0, 1.0 - jnp.abs(zi - zl))  # (DZ, B)
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(yi - yl))  # (YW, B)
+            ez = (rz == jax.lax.broadcasted_iota(jnp.float32, (R, DZ), 1)).astype(
+                jnp.bfloat16
+            )
+            ey = (ry == jax.lax.broadcasted_iota(jnp.float32, (R, YW), 1)).astype(
+                jnp.bfloat16
+            )
+
+            def _exp(e, h):
+                return jax.lax.dot_general(
+                    e, h.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            oh = _exp(ez, hz) * _exp(ey, hy)  # (R, B)
         elif ablate == "cheapoh":
             # separable build: hats on the two small axes (DZ+YW rows), then
             # an outer-product expansion — O(DZ*B + YW*B) hat math instead

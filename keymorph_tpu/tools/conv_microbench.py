@@ -82,6 +82,12 @@ def main(argv=None):
     p.add_argument("--stages", default=None, help="comma list; default all")
     p.add_argument("--mode", default="gcr", choices=["gcr", "conv", "gn"],
                    help="gcr = GroupNorm+conv+ReLU; conv = conv only; gn = GroupNorm only")
+    p.add_argument("--stats", default="none", choices=["none", "fused", "split"],
+                   help="append the next conv's per-channel (mean, msq) stats "
+                        "epilogue (fast_unet._channel_stats): 'fused' lets XLA "
+                        "fuse it into the conv (forces an f32 output layout — "
+                        "the d1c1 33.7 TF suspect); 'split' puts an "
+                        "optimization_barrier between conv and stats")
     p.add_argument("--pallas", action="store_true",
                    help="also time the Pallas conv kernel where eligible")
     args = p.parse_args(argv)
@@ -120,7 +126,18 @@ def main(argv=None):
         x0 = jnp.asarray(rng.normal(size=(1, *spatial, cin)).astype(np.float32),
                          dtype=dtype)
         params = jax.jit(mod.init)(jax.random.PRNGKey(0), x0)
-        fn = jax.jit(mod.apply)
+        if args.stats == "none":
+            fn = jax.jit(mod.apply)
+        else:
+            def apply_with_stats(p, x):
+                out = mod.apply(p, x)
+                if args.stats == "split":
+                    out = jax.lax.optimization_barrier(out)
+                of = out.astype(jnp.float32)
+                axes = tuple(range(out.ndim - 1))
+                return out, jnp.mean(of, axes), jnp.mean(jnp.square(of), axes)
+
+            fn = jax.jit(apply_with_stats)
 
         def args_fn():
             x = jnp.asarray(

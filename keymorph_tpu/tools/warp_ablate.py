@@ -4,8 +4,9 @@ Times the 256^3 single-channel warp (same representative flow as
 warp_tile_sweep) under each ablation mode; deltas vs the baseline localize
 the cost between the band DMAs, the one-hot weight build, the x-window
 roll, and the trilerp matmul. Most modes compute WRONG results — this is a
-timing tool only. `cheapoh` is the exception (a correct candidate
-optimization: separable weight build).
+timing tool only. Exceptions: `cheapoh` (correct: separable weight build)
+and `mxuoh` (bf16-rounded hats, ~1e-3 — same class as KM_WARP_BF16); both
+are candidate optimizations.
 
 Usage: python -m keymorph_tpu.tools.warp_ablate [S] [mode,mode,...]
 """
@@ -19,7 +20,7 @@ import time
 
 import numpy as np
 
-MODES = ["", "cheapoh", "nooh", "noroll", "nomm", "nodma"]
+MODES = ["", "cheapoh", "mxuoh", "nooh", "noroll", "nomm", "nodma"]
 
 
 def main():
@@ -33,6 +34,12 @@ def main():
     modes = sys.argv[2].split(",") if len(sys.argv) > 2 else MODES
     rng = np.random.default_rng(0)
     planes = jnp.asarray(_rot_scale_planes(S))
+
+    from keymorph_tpu.ops.pallas import resample3d as _r
+
+    assert bool(
+        _r._tile_spans_fit(planes[0], (S, S, S), nearest=False)
+    ), "flow exceeds the kernel windows: this would time the XLA fallback"
     srcs = [
         jnp.asarray(rng.random((1, 1, S, S, S), dtype=np.float32))
         for _ in range(3)

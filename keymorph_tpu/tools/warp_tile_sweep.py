@@ -29,14 +29,19 @@ CONFIGS = [
 ]
 
 
-def _rot_scale_planes(S: int) -> np.ndarray:
-    """(1, 3, S, S, S) ij-ordered normalized sample coords for a 15 deg
-    oblique rotation + 1.15 uniform scale about the volume center."""
-    th = np.deg2rad(15.0)
+def _rot_scale_planes(S: int, deg: float = 14.0, scale: float = 1.10) -> np.ndarray:
+    """(1, 3, S, S, S) ij-ordered normalized sample coords for an oblique
+    rotation + uniform scale about the volume center.
+
+    The defaults (14 deg, 1.10) give per-tile spans (15, 20, 36) — just
+    inside the shipped (16, 40, 64) windows at every S, so the kernel path
+    (not the XLA fallback) is what gets timed. 15 deg + 1.15 has a z-span
+    of 17 and silently falls back."""
+    th = np.deg2rad(deg)
     c, s = np.cos(th), np.sin(th)
     rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
     ry = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-    A = 1.15 * (rz @ ry)
+    A = scale * (rz @ ry)
     ax = np.linspace(-1 + 1 / S, 1 - 1 / S, S, dtype=np.float64)
     zz, yy, xx = np.meshgrid(ax, ax, ax, indexing="ij")
     pts = np.stack([zz, yy, xx], 0).reshape(3, -1)
