@@ -180,3 +180,20 @@ def test_bf16_band_mode_parity(rng, monkeypatch):
     monkeypatch.delenv("KM_WARP_BF16")
     out2 = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("mode,atol", [("cheapoh", 2e-5), ("mxuoh", 1.5e-2)])
+def test_ablate_candidate_modes_parity(rng, mode, atol, monkeypatch):
+    """The two KM_WARP_ABLATE modes that are candidate optimizations (not
+    just timing stubs) must stay correct: cheapoh is exact (separable hat
+    build), mxuoh rounds the hats to bf16 (same error class as
+    KM_WARP_BF16)."""
+    monkeypatch.setenv("KM_WARP_ABLATE", mode)
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    assert resample3d._tile_spans_fit(
+        jnp.asarray(planes)[0], (32, 32, 32), nearest=False
+    ), "test flow must exercise the kernel, not the fallback"
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
