@@ -18,12 +18,15 @@ the gather entirely:
     i.e. one (B_tile, DZ*YW) @ (DZ*YW, XW) matmul on the MXU plus a VPU
     row-reduction — no indexed loads anywhere.
 
-Exactness contract: a cheap exact XLA prepass checks that every tile's
-coordinate span fits the static windows; ``lax.cond`` falls back to the XLA
-gather path otherwise (high-frequency or non-smooth flows). For smooth
-registration flows the windows (16, 32, 64) hold with large margin — a
-measured 128-keypoint TPS at lambda=0 with 15 deg rotation + 15% scale
-spans at most (16, 21, 43) per (4, 8, 32) tile.
+Exactness contract: a cheap exact XLA prepass computes every tile's
+coordinate span once; ``lax.cond`` then picks the SMALLEST window config of
+``_WIN_LADDER`` that holds, and falls back to the XLA gather path if none
+does (high-frequency or non-smooth flows). Every per-cell cost scales with
+the band rows R = DZ*YW, so the ladder is a direct perf lever: a measured
+lambda=1 TPS registration flow spans only (6, 15, 29) per (4, 8, 32) tile
+and runs the (8, 24, 32) config, while a 128-keypoint TPS at lambda=0 with
+15 deg rotation + 15% scale spans up to (16, 21, 43) and needs the full
+(16, 40, 64).
 
 Semantics match ``ops.resample.grid_sample`` (torch ``grid_sample`` with
 padding_mode="border", align_corners=False) for mode in {bilinear, nearest};
@@ -53,19 +56,28 @@ _TILE = (4, 8, 32)  # (BZ, BY, BX) output voxels per kernel cell
 # y start must be sublane-aligned (large HBM memrefs are (8, 128)-tiled and
 # DMA offsets must respect the tiling), so y0 is rounded down to 8.
 _WIN = (16, 40, 64)
+# Adaptive window ladder, smallest first. Every per-cell cost — band DMA
+# bytes, hat-weight VPU math, and the trilerp matmul — scales with
+# R = DZ*YW, so smooth flows (the common registration case: measured bench
+# TPS flow spans (6, 15, 29) per (4, 8, 32) tile) should run a ~3x smaller
+# kernel. The exactness prepass computes the actual spans once per call and
+# lax.cond picks the smallest window config that holds; wild flows keep the
+# big windows, and anything beyond them still falls back to the XLA gather.
+_WIN_LADDER = ((8, 24, 32), _WIN)
 
 
 def _tile_config():
-    """(tile, windows), overridable via KM_WARP_TILES="BZ,BY,BX,DZ,YW,XW"
-    (read at trace time; tools/warp_tile_sweep.py uses this). The prepass
-    still guards exactness per call, so a mis-sized override can only cause
-    XLA fallbacks, never wrong results."""
+    """(tile, window ladder), overridable via KM_WARP_TILES=
+    "BZ,BY,BX,DZ,YW,XW" (read at trace time; tools/warp_tile_sweep.py uses
+    this — a forced config disables the ladder). The prepass still guards
+    exactness per call, so a mis-sized override can only cause XLA
+    fallbacks, never wrong results."""
     forced = os.environ.get("KM_WARP_TILES")
     if forced:
         v = [int(t) for t in forced.split(",")]
         assert len(v) == 6 and v[4] % 8 == 0, v
-        return (v[0], v[1], v[2]), (v[3], v[4], v[5])
-    return _TILE, _WIN
+        return (v[0], v[1], v[2]), ((v[3], v[4], v[5]),)
+    return _TILE, _WIN_LADDER
 
 
 _GROUP = 8  # sub-tiles per kernel cell (fills the output block's sublane dim)
@@ -280,12 +292,12 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _warp_pallas(img, planes, *, nearest, interpret):
+def _warp_pallas(img, planes, *, nearest, interpret, win):
     """(C, Z, Y, X) x (3, D, H, W) -> (C, D, H, W); caller checked shapes."""
     C = img.shape[0]
     src_spatial = tuple(int(s) for s in img.shape[1:])
     out_spatial = tuple(int(s) for s in planes.shape[1:])
-    tile, win = _tile_config()
+    tile, _ = _tile_config()
     BZ, BY, BX = tile
     B = BZ * BY * BX
 
@@ -342,13 +354,15 @@ def _warp_pallas(img, planes, *, nearest, interpret):
     return _untile_output(out_tiled, out_spatial, tile, C)
 
 
-def _tile_spans_fit(planes, src_spatial, *, nearest):
-    """Exact XLA prepass: does every tile's coordinate span fit the windows?
+def _tile_spans(planes, src_spatial, *, nearest):
+    """Exact XLA prepass: per-axis MAX coordinate span over all tiles.
 
-    planes: (3, D, H, W). Returns a scalar bool. Pure reductions — no gather.
+    planes: (3, D, H, W). Returns a (3,) fp32 vector. Pure reductions — no
+    gather. Computed once per call; each ladder window config compares
+    against it (see :func:`_effective_win`).
     """
     D, H, W = (int(s) for s in planes.shape[1:])
-    (BZ, BY, BX), win = _tile_config()
+    (BZ, BY, BX), _ = _tile_config()
     p = planes.astype(jnp.float32).reshape(3, D // BZ, BZ, H // BY, BY, W // BX, BX)
     sizes = jnp.asarray(src_spatial, jnp.float32).reshape(3, 1, 1, 1)
     v = ((p + 1.0) * sizes[..., None, None, None] - 1.0) * 0.5
@@ -363,16 +377,27 @@ def _tile_spans_fit(planes, src_spatial, *, nearest):
     # the kernel rounds the y band start down to a sublane multiple of 8
     lo = lo.at[1].set(jnp.floor(lo[1] / 8.0) * 8.0)
     span = jnp.ceil(vmax) - lo + 1.0
+    return jnp.max(span, axis=(1, 2, 3))
+
+
+def _effective_win(win, src_spatial):
+    """Clamp a ladder window config to the (padded) source dims."""
     Z, Y, X = src_spatial
-    wins = jnp.asarray(
-        [
-            min(win[0], Z),
-            min(win[1], _round_up(Y, 8)),
-            min(win[2], _round_up(X, 128)),
-        ],
-        jnp.float32,
-    ).reshape(3, 1, 1, 1)
-    return jnp.all(span <= wins)
+    return (
+        min(win[0], Z),
+        min(win[1], _round_up(Y, 8)),
+        min(win[2], _round_up(X, 128)),
+    )
+
+
+def _tile_spans_fit(planes, src_spatial, *, nearest, win=None):
+    """Does every tile's coordinate span fit `win` (default: the LARGEST
+    ladder config, i.e. 'will the kernel path run at all')?"""
+    if win is None:
+        win = _tile_config()[1][-1]
+    spans = _tile_spans(planes, src_spatial, nearest=nearest)
+    wins = jnp.asarray(_effective_win(win, src_spatial), jnp.float32)
+    return jnp.all(spans <= wins)
 
 
 def _shapes_eligible(img_shape, out_spatial):
@@ -416,15 +441,15 @@ def fast_warp_enabled():
 _BAND_VMEM_BUDGET = 4 * 2**20
 
 
-def _max_band_channels(src_spatial):
+def _max_band_channels(src_spatial, win=None):
     Z, Y, X = src_spatial
-    (BZ, BY, BX), win = _tile_config()
-    DZ = min(win[0], Z)
-    YW = min(win[1], _round_up(Y, 8))
+    (BZ, BY, BX), ladder = _tile_config()
+    if win is None:
+        win = ladder[-1]
+    DZ, YW, XW = _effective_win(win, src_spatial)
     Xp = _round_up(X, 128)
     R = DZ * YW
     B = BZ * BY * BX
-    XW = min(win[2], Xp)
     per_channel = (2 * DZ * YW * Xp + R * Xp + B * (XW + 2 * _GROUP)) * 4
     return max(1, _BAND_VMEM_BUDGET // per_channel)
 
@@ -454,32 +479,50 @@ def _warp_planes_fwd_impl(img, planes, mode):
     nearest = mode == "nearest"
     interpret = jax.default_backend() == "cpu"
     B, C = img.shape[:2]
-    # channel chunking bounds the double-buffered band scratch (many-channel
-    # one-hot segmentations would otherwise exceed scoped VMEM at compile)
-    cb = _max_band_channels(img.shape[2:])
+    src_spatial = tuple(int(s) for s in img.shape[2:])
 
-    outs = []
-    for b in range(B):  # B is 1 on the serving path; small unroll otherwise
-        fits = _tile_spans_fit(planes[b], img.shape[2:], nearest=nearest)
+    # the window ladder, deduped by effective (clamped) size — small volumes
+    # collapse several configs onto the same kernel
+    ladder, seen = [], set()
+    for w in _tile_config()[1]:
+        eff = _effective_win(w, src_spatial)
+        if eff not in seen:
+            seen.add(eff)
+            ladder.append(w)
+
+    def _make_fast(win):
+        # channel chunking bounds the double-buffered band scratch (many-
+        # channel one-hot segmentations would otherwise exceed scoped VMEM)
+        cb = _max_band_channels(src_spatial, win)
 
         def _fast(im, pe):
             chunks = [
                 _warp_pallas(im[c0 : c0 + cb], pe, nearest=nearest,
-                             interpret=interpret)
+                             interpret=interpret, win=win)
                 for c0 in range(0, C, cb)
             ]
             out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
             return out.astype(img.dtype)
 
-        outs.append(
-            jax.lax.cond(
-                fits,
-                _fast,
-                lambda im, pe: _xla_warp(im[None], pe[None], mode)[0],
-                img[b],
-                planes[b],
+        return _fast
+
+    outs = []
+    for b in range(B):  # B is 1 on the serving path; small unroll otherwise
+        # one span reduction per call; each ladder rung compares against it
+        spans = _tile_spans(planes[b], src_spatial, nearest=nearest)
+
+        branch = lambda im, pe: _xla_warp(im[None], pe[None], mode)[0]  # noqa: E731
+        for win in reversed(ladder):
+            fits = jnp.all(
+                spans
+                <= jnp.asarray(_effective_win(win, src_spatial), jnp.float32)
             )
-        )
+
+            def _cond(im, pe, _fit=fits, _f=_make_fast(win), _alt=branch):
+                return jax.lax.cond(_fit, _f, _alt, im, pe)
+
+            branch = _cond
+        outs.append(branch(img[b], planes[b]))
     return jnp.stack(outs, axis=0)
 
 

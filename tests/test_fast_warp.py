@@ -197,3 +197,19 @@ def test_ablate_candidate_modes_parity(rng, mode, atol, monkeypatch):
     out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
     ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+
+def test_window_ladder_mid_flow(rng):
+    """A flow whose spans exceed the small ladder window but fit the default
+    must run the big-window kernel rung (not the XLA fallback) and stay
+    exact; guards the adaptive-window dispatch."""
+    S = (32, 32, 32)
+    src = rng.random((1, 1, *S), dtype=np.float32)
+    planes = _smooth_planes(rng, S, amp=0.2)
+    spans = resample3d._tile_spans(jnp.asarray(planes)[0], S, nearest=False)
+    small, big = (resample3d._effective_win(w, S) for w in resample3d._WIN_LADDER)
+    assert not bool(jnp.all(spans <= jnp.asarray(small, jnp.float32)))
+    assert bool(jnp.all(spans <= jnp.asarray(big, jnp.float32)))
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
