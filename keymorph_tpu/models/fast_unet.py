@@ -99,12 +99,16 @@ def _gn_affine(x, gamma, beta, groups, channel_axis):
     )
 
 
-def _single_conv_zc(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None):
+def _single_conv_zc(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None,
+                    emit_stats=False):
     """'gcr'/'cr' SingleConv on (Z, C, Y, X) via the fused kernel.
 
     ``stats``: optional precomputed per-channel (mean, msq) for the
     GroupNorm — the decoder supplies stats computed on the pre-upsample /
-    pre-transpose tensors (see :func:`_channel_stats`)."""
+    pre-transpose tensors (see :func:`_channel_stats`). ``emit_stats``
+    additionally returns the OUTPUT's (mean, msq), aggregated from
+    in-kernel partials — DoubleConv feeds them to its second conv so the
+    intermediate tensor is never re-read for GroupNorm statistics."""
     w = p["Conv_0"]["kernel"]
     scale = shift = bias = None
     if "GroupNorm_0" in p:
@@ -115,7 +119,8 @@ def _single_conv_zc(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None
         )
     else:
         bias = p["Conv_0"].get("bias")
-    return conv3d.conv3x3_fused(x, w, scale=scale, shift=shift, bias=bias, relu=relu)
+    return conv3d.conv3x3_fused(x, w, scale=scale, shift=shift, bias=bias,
+                                relu=relu, emit_stats=emit_stats)
 
 
 @jax.custom_vjp
@@ -182,9 +187,16 @@ def _single_conv_cl(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None
 
 
 def _double_conv(p, x, fast: bool, num_groups: int, stats0=None):
-    sc = _single_conv_zc if fast else _single_conv_cl
-    x = sc(p["SingleConv_0"], x, num_groups, stats=stats0)
-    return sc(p["SingleConv_1"], x, num_groups)
+    if fast:
+        # conv1 emits its output stats in-kernel iff conv2 will normalize —
+        # the (Z, C1, Y, X) intermediate is then never re-read for stats
+        wants = "GroupNorm_0" in p["SingleConv_1"]
+        r = _single_conv_zc(p["SingleConv_0"], x, num_groups, stats=stats0,
+                            emit_stats=wants)
+        x, s1 = r if wants else (r, None)
+        return _single_conv_zc(p["SingleConv_1"], x, num_groups, stats=s1)
+    x = _single_conv_cl(p["SingleConv_0"], x, num_groups, stats=stats0)
+    return _single_conv_cl(p["SingleConv_1"], x, num_groups)
 
 
 def _maxpool2_reshape(x, window):

@@ -91,8 +91,8 @@ def _shapes_eligible(shape):
     return X % 128 == 0 and X >= 128 and Y % 8 == 0 and Z >= 1
 
 
-def _kernel(wt_ref, bias_ref, xp_ref, out_ref, band, s_ref, sem, *,
-            ZB, YB, Cg, X, Cout, n_cells_y, relu, out_dtype):
+def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
+            n_cells_y, relu, out_dtype, Z=None, emit_stats=False):
     """Grid: (n_cells_z * n_cells_y,) linearized. One Cin group per call —
     larger channel counts are split into independent single-group calls and
     summed by the host wrapper (keeps the kernel free of revisited-output
@@ -102,9 +102,18 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, band, s_ref, sem, *,
     bias_ref:(Cout, 128) fp32 (columns 0..2 meaningful).
     xp_ref:  (Z+2, Cg, (Y+16)*X) HBM, halo-padded, bf16.
     out_ref: (ZB, Cout, YB*X) VMEM block.
+    stat_ref (emit_stats only): (1, Cout, 128) per-cell partials — lane 0
+             holds sum(out), lane 1 sum(out^2), over this cell's true
+             (z < Z) rows, computed on the bf16-ROUNDED output so the
+             aggregated mean/msq match an XLA reduce of the returned
+             tensor (up to fp32 summation order).
     band:    (2, ZB+2, Cg, (YB+16)*X) bf16 double buffer.
     s_ref:   (9*Cg, YB*X) bf16 tap stack.
     """
+    if emit_stats:
+        stat_ref, band, s_ref, sem = refs
+    else:
+        band, s_ref, sem = refs
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     WL = (YB + 16) * X
@@ -135,6 +144,10 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, band, s_ref, sem, *,
     b = bias_ref[:, 0:1]  # (Cout, 1) folded bias
     c_left = bias_ref[:, 1:2]  # x=0 boundary constant (dx=-1 tap)
     c_right = bias_ref[:, 2:3]  # x=X-1 boundary constant (dx=+1 tap)
+
+    if emit_stats:
+        s1 = jnp.zeros((Cout, 1), jnp.float32)
+        s2 = jnp.zeros((Cout, 1), jnp.float32)
 
     for lz in range(ZB):
         # stack the 9 (dz, dy) taps: S[(dz*3+dy)*Cg : +Cg, :] = shifted rows
@@ -170,7 +183,23 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, band, s_ref, sem, *,
             o = o + y_dx
         if relu:
             o = jnp.maximum(o, 0.0)
-        out_ref[lz] = o.astype(out_dtype)
+        oc = o.astype(out_dtype)
+        out_ref[lz] = oc
+        if emit_stats:
+            # register accumulation across the unrolled lz loop, one write
+            # at the end — no revisited-output-block accumulation (which
+            # this tunnel's Mosaic build miscompiles). z-pad rows (z >= Z)
+            # hold halo-driven garbage and are masked out.
+            zok = (t // n_cells_y) * ZB + lz < Z
+            w = jnp.where(zok, 1.0, 0.0)
+            of = oc.astype(jnp.float32)
+            s1 = s1 + w * jnp.sum(of, axis=1, keepdims=True)
+            s2 = s2 + w * jnp.sum(of * of, axis=1, keepdims=True)
+
+    if emit_stats:
+        stat_ref[0] = jnp.pad(
+            jnp.concatenate([s1, s2], axis=1), ((0, 0), (0, 126))
+        )
 
 
 def _prepack(w, scale, shift, bias):
@@ -223,8 +252,12 @@ def _prepack(w, scale, shift, bias):
 
 
 def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
-                       out_dtype=jnp.bfloat16):
-    """Single Cin-group call: x (Z, Cg, Y, X) -> (Z, Cout, Y, X)."""
+                       out_dtype=jnp.bfloat16, emit_stats=False):
+    """Single Cin-group call: x (Z, Cg, Y, X) -> (Z, Cout, Y, X).
+
+    With ``emit_stats``, also returns the per-Cout fp32 (mean, mean-square)
+    of the output — aggregated from per-cell in-kernel partials, saving the
+    full-volume XLA reduce the next conv's GroupNorm would otherwise pay."""
     Z, Cin, Y, X = (int(s) for s in x.shape)
     Cout = int(w.shape[-1])
     ZB, YB, _ = tiles
@@ -253,11 +286,30 @@ def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
     N = YB * X
     WL = (YB + 16) * X
 
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (ZB, Cout, N),
+        lambda t: (t // n_cells_y, 0, t % n_cells_y),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((Zp, Cout, Y * X), out_dtype)
+    if emit_stats:
+        n_cells = grid[0]
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, Cout, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((n_cells, Cout, 128), jnp.float32),
+        ]
+
+    res = pl.pallas_call(
         functools.partial(
             _kernel,
             ZB=ZB, YB=YB, Cg=Cin, X=X, Cout=Cout,
             n_cells_y=n_cells_y, relu=relu, out_dtype=out_dtype,
+            Z=Z, emit_stats=emit_stats,
         ),
         grid=grid,
         in_specs=[
@@ -268,12 +320,8 @@ def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
             pl.BlockSpec((Cout, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec(
-            (ZB, Cout, N),
-            lambda t: (t // n_cells_y, 0, t % n_cells_y),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((Zp, Cout, Y * X), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, ZB + 2, Cin, WL), jnp.bfloat16),
             pltpu.VMEM((9 * Cin, N), jnp.bfloat16),
@@ -281,10 +329,23 @@ def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
         ],
         interpret=interpret,
     )(wt, bias_col, xp)
-    return out.reshape(Zp, Cout, Y, X)[:Z]
+    if emit_stats:
+        out, partials = res
+        sums = jnp.sum(partials[:, :, :2], axis=0)  # (Cout, 2)
+        n = jnp.float32(Z * Y * X)
+        stats = (sums[:, 0] / n, sums[:, 1] / n)
+        return out.reshape(Zp, Cout, Y, X)[:Z], stats
+    return res.reshape(Zp, Cout, Y, X)[:Z]
 
 
-def _conv_pallas(x, w, scale, shift, bias, relu, interpret):
+def _xla_out_stats(out):
+    """Per-Cout fp32 (mean, mean-square) of a (Z, Cout, Y, X) output —
+    the XLA formulation the in-kernel partials must match."""
+    of = out.astype(jnp.float32)
+    return jnp.mean(of, axis=(0, 2, 3)), jnp.mean(jnp.square(of), axis=(0, 2, 3))
+
+
+def _conv_pallas(x, w, scale, shift, bias, relu, interpret, emit_stats=False):
     """x: (Z, Cin, Y, X) -> (Z, Cout, Y, X). Shapes pre-checked.
 
     Cin beyond the VMEM budget splits into independent channel groups at
@@ -325,7 +386,10 @@ def _conv_pallas(x, w, scale, shift, bias, relu, interpret):
         )
 
     if Cg == Cin:
-        return grp(0, Cin, True, relu, jnp.bfloat16)
+        return _conv_pallas_group(
+            x, w, scale, shift, bias, relu, interpret, (ZB, YB, Cg),
+            out_dtype=jnp.bfloat16, emit_stats=emit_stats,
+        )
     # fp32 group outputs keep the cross-group sum at full precision; the
     # single bf16 rounding happens after the sum, like the XLA lowering
     parts = [
@@ -337,10 +401,15 @@ def _conv_pallas(x, w, scale, shift, bias, relu, interpret):
         out = out + p
     if relu:
         out = jnp.maximum(out, 0.0)
-    return out.astype(jnp.bfloat16)
+    out = out.astype(jnp.bfloat16)
+    if emit_stats:
+        # cross-group sums exist only after the JAX-level add: stats come
+        # from one XLA reduce of the final tensor here
+        return out, _xla_out_stats(out)
+    return out
 
 
-def _conv_xla(x, w, scale, shift, bias, relu):
+def _conv_xla(x, w, scale, shift, bias, relu, emit_stats=False):
     """Reference lowering on the same (Z, C, Y, X) layout (fallback + VJP).
 
     Matches the kernel's arithmetic: bf16 inputs/weights, fp32 accumulate.
@@ -371,7 +440,10 @@ def _conv_xla(x, w, scale, shift, bias, relu):
         out = out + bias.astype(jnp.float32)[:, None, None, None]
     if relu:
         out = jnp.maximum(out, 0.0)
-    return jnp.transpose(out, (1, 0, 2, 3)).astype(jnp.bfloat16)
+    out = jnp.transpose(out, (1, 0, 2, 3)).astype(jnp.bfloat16)
+    if emit_stats:
+        return out, _xla_out_stats(out)
+    return out
 
 
 def fast_conv_enabled():
@@ -384,12 +456,12 @@ def fast_conv_enabled():
     return jax.default_backend() == "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _conv(x, w, scale, shift, bias, relu):
-    return _conv_fwd_impl(x, w, scale, shift, bias, relu)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _conv(x, w, scale, shift, bias, relu, emit_stats):
+    return _conv_fwd_impl(x, w, scale, shift, bias, relu, emit_stats)
 
 
-def _conv_fwd_impl(x, w, scale, shift, bias, relu):
+def _conv_fwd_impl(x, w, scale, shift, bias, relu, emit_stats):
     if (
         not fast_conv_enabled()
         or not _shapes_eligible(tuple(int(s) for s in x.shape))
@@ -398,19 +470,22 @@ def _conv_fwd_impl(x, w, scale, shift, bias, relu):
         )
         is None
     ):
-        return _conv_xla(x, w, scale, shift, bias, relu)
+        return _conv_xla(x, w, scale, shift, bias, relu, emit_stats)
     interpret = jax.default_backend() == "cpu"
-    return _conv_pallas(x, w, scale, shift, bias, relu, interpret)
+    return _conv_pallas(x, w, scale, shift, bias, relu, interpret, emit_stats)
 
 
-def _conv_fwd(x, w, scale, shift, bias, relu):
-    return _conv_fwd_impl(x, w, scale, shift, bias, relu), (x, w, scale, shift, bias)
+def _conv_fwd(x, w, scale, shift, bias, relu, emit_stats):
+    return (
+        _conv_fwd_impl(x, w, scale, shift, bias, relu, emit_stats),
+        (x, w, scale, shift, bias),
+    )
 
 
-def _conv_bwd(relu, res, g):
+def _conv_bwd(relu, emit_stats, res, g):
     x, w, scale, shift, bias = res
     def f(x_, w_, scale_, shift_, bias_):
-        return _conv_xla(x_, w_, scale_, shift_, bias_, relu)
+        return _conv_xla(x_, w_, scale_, shift_, bias_, relu, emit_stats)
     _, vjp = jax.vjp(f, x, w, scale, shift, bias)
     return vjp(g)
 
@@ -418,7 +493,8 @@ def _conv_bwd(relu, res, g):
 _conv.defvjp(_conv_fwd, _conv_bwd)
 
 
-def conv3x3_fused(x, w, scale=None, shift=None, bias=None, relu=True):
+def conv3x3_fused(x, w, scale=None, shift=None, bias=None, relu=True,
+                  emit_stats=False):
     """Fused (per-channel affine) + 3^3 same-conv + bias + (ReLU).
 
     Args:
@@ -431,8 +507,11 @@ def conv3x3_fused(x, w, scale=None, shift=None, bias=None, relu=True):
            unet3d/buildingblocks.py:10-95).
         bias: optional per-Cout conv bias.
         relu: fuse a trailing ReLU.
+        emit_stats: also return the per-Cout fp32 (mean, mean-square) of
+           the output, aggregated from in-kernel per-cell partials — feeds
+           the NEXT conv's GroupNorm without a full-volume reduce.
 
     Returns:
-        (Z, Cout, Y, X) bf16.
+        (Z, Cout, Y, X) bf16; with ``emit_stats``, (out, (mean, msq)).
     """
-    return _conv(x, w, scale, shift, bias, relu)
+    return _conv(x, w, scale, shift, bias, relu, emit_stats)

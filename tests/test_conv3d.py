@@ -110,3 +110,36 @@ def test_conv_grad_flows(rng):
     assert np.all(np.isfinite(gk))
     ref = np.abs(gx).max() + 1e-6
     np.testing.assert_allclose(gk / ref, gx / ref, atol=3e-2)
+
+
+def test_conv_emit_stats_single_group(rng):
+    """In-kernel per-cell stat partials aggregate to the XLA reduce of the
+    returned tensor (Z deliberately not a ZB multiple: pad rows masked)."""
+    x = _mk(rng, (10, 16, 16, 128))
+    w = _mk(rng, (3, 3, 3, 16, 32)) * 0.1
+    scale, shift = _mk(rng, (16,)), _mk(rng, (16,))
+    out, (m, m2) = conv3d.conv3x3_fused(x, w, scale=scale, shift=shift,
+                                        emit_stats=True)
+    out2 = conv3d.conv3x3_fused(x, w, scale=scale, shift=shift)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    mr, m2r = conv3d._xla_out_stats(out2)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(mr), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m2r), atol=1e-4, rtol=1e-5)
+
+
+def test_conv_emit_stats_multi_group_and_grad(rng, monkeypatch):
+    """Cross-group path computes stats on the summed output; gradients flow
+    through both the tensor and the stats outputs."""
+    monkeypatch.setenv("KM_CONV_TILES", "2,8,8")
+    x = _mk(rng, (8, 16, 16, 128))
+    w = _mk(rng, (3, 3, 3, 16, 8)) * 0.1
+    out, (m, m2) = conv3d.conv3x3_fused(x, w, emit_stats=True)
+    mr, m2r = conv3d._xla_out_stats(out)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(mr), atol=1e-5, rtol=1e-5)
+
+    def loss(x_):
+        o, (mm, qq) = conv3d.conv3x3_fused(x_, w, emit_stats=True)
+        return jnp.sum(o.astype(jnp.float32)) * 1e-3 + jnp.sum(mm) + jnp.sum(qq)
+
+    g = jax.grad(loss)(x)
+    assert bool(jnp.all(jnp.isfinite(g)))
