@@ -63,7 +63,12 @@ _WIN = (16, 40, 64)
 # kernel. The exactness prepass computes the actual spans once per call and
 # lax.cond picks the smallest window config that holds; wild flows keep the
 # big windows, and anything beyond them still falls back to the XLA gather.
-_WIN_LADDER = ((8, 24, 32), _WIN)
+_WIN_LADDER = ((8, 24, 64), _WIN)
+# The small rung keeps XW=64: the x window never enters the band DMA (whole
+# lane rows are copied; x is selected in VMEM by a roll), and a matmul with
+# M <= 128 costs the same MXU cycles at M=32 or 64 — hi/lo stacking at
+# M=2*XW=128 fills the array exactly — so a narrower XW would buy nothing
+# and lose x-span robustness.
 
 
 def _tile_config():
