@@ -29,7 +29,7 @@ def build_register(net, num_chunks: int):
     import jax.numpy as jnp
 
     from keymorph_tpu.models.keymorph import align_pair
-    from keymorph_tpu.ops.resample import align_img
+    from keymorph_tpu.ops.resample import align_planes
 
     @jax.jit
     def register(params, img_f, img_m):
@@ -41,9 +41,10 @@ def build_register(net, num_chunks: int):
             img_f.shape[2:],
             lmbda=jnp.full((img_f.shape[0],), 1.0),
             num_chunks=num_chunks,  # bound the K x N_grid RBF matrix in HBM
-            compute_grid=True,
+            compute_grid="planes",  # planes-native serving path (no grid
+            # materialization / minor-dim-3 transposes between solve + warp)
         )
-        return align_img(out["grid"], img_m)
+        return align_planes(out["planes"], img_m)
 
     return register
 

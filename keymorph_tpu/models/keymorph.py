@@ -221,8 +221,17 @@ def align_pair(
     Returns a dict with keys among {"grid", "matrix", "points_a"}.
     `grid` is `xy`-ordered, shaped (B, *grid_shape, dim) — the reference's
     result contract (model.py:264-288).
+
+    ``compute_grid="planes"`` is the planes-native serving variant: instead
+    of ``out["grid"]`` it produces ``out["planes"]`` — `ij`-ordered (B, 3,
+    *grid_shape) coordinate planes, exactly ``flip(moveaxis(grid, -1, 1),
+    1)`` — for :func:`keymorph_tpu.ops.resample.align_planes`. On the
+    non-real-world TPS path the planes come straight from the fused flow
+    kernel (identity grid generated in-kernel, plane-major output): no
+    (N, 3) points tensor and no minor-dim-3 transpose ever touch HBM.
     """
     out: Dict[str, Any] = {}
+    want_planes = compute_grid == "planes"
     spatial = tuple(grid_shape)
     spatial_m = tuple(moving_shape) if moving_shape is not None else spatial
     rw = aff_f is not None
@@ -244,6 +253,14 @@ def align_pair(
             moved = Coords.convert_points_real2norm(moved, aff_m, spatial_m)
         return jnp.flip(moved.reshape(B, *spatial, d), axis=-1)
 
+    def _store_grid(grid):
+        if want_planes:
+            # generic planes conversion (affine / rigid / rw / fallback
+            # paths); the hot non-rw TPS path below never builds the grid
+            out["planes"] = jnp.flip(jnp.moveaxis(grid, -1, 1), axis=1)
+        else:
+            out["grid"] = grid
+
     if align_type in ("affine", "rigid"):
         fit = solvers.fit_affine if align_type == "affine" else solvers.fit_rigid
         inverse = solvers.square_matrix(fit(pf, pm, weights))
@@ -251,11 +268,11 @@ def align_pair(
         out["matrix"] = matrix
         if compute_grid:
             if rw:
-                out["grid"] = _finish_grid(Coords.apply_matrix(inverse, _grid_flat()))
+                _store_grid(_finish_grid(Coords.apply_matrix(inverse, _grid_flat())))
             else:
                 from keymorph_tpu.transforms.affine import affine_flow
 
-                out["grid"] = affine_flow(inverse, spatial)
+                _store_grid(affine_flow(inverse, spatial))
         if compute_aligned_points:
             pa = Coords.apply_matrix(matrix, pm)
             if rw:
@@ -264,14 +281,17 @@ def align_pair(
     elif align_type == "tps":
         assert lmbda is not None
         inv_theta = solvers.fit_tps(pf, pm, lmbda, weights)
-        if compute_grid:
+        if compute_grid and want_planes and not rw:
+            from keymorph_tpu.ops.pallas import tpsflow
+
+            out["planes"] = tpsflow.tps_planes(inv_theta, pf, spatial)
+        elif compute_grid:
             # chunked evaluation marks the inference path (training uses
-            # num_chunks=1 and needs autodiff). XLA fuses the
-            # distance→RBF→contraction chain well — device traces showed it
-            # beating a hand-written Pallas flow kernel (41.7 vs 71.8 ms at
-            # 256^3), so XLA is the single flow path (PERF.md).
+            # num_chunks=1 and needs native autodiff); num_chunks > 1
+            # dispatches the fused Pallas flow kernel where eligible
+            # (solvers.tps_eval_chunked).
             moved = solvers.tps_eval_chunked(inv_theta, pf, _grid_flat(), num_chunks)
-            out["grid"] = _finish_grid(moved)
+            _store_grid(_finish_grid(moved))
         if compute_aligned_points:
             theta = solvers.fit_tps(pm, pf, lmbda, weights)
             pa = solvers.tps_eval(theta, pm, pm)

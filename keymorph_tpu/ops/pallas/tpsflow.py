@@ -57,18 +57,36 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _kernel(ctrl_ref, wgt_ref, aff_ref, pts_ref, out_ref, *, Tp, NT):
+def _kernel(ctrl_ref, wgt_ref, aff_ref, *refs, Tp, NT, spatial=None):
     """One (b, tile) cell: moved[8, NT] from ctrl/wgt/affine + points tile.
 
     ctrl_ref: (1, Tp, 128) f32 — control points, dim k in lane-column k.
     wgt_ref:  (1, 8, Tp)  f32 — spline weights transposed, row k = out dim k.
     aff_ref:  (1, 8, 8)   f32 — affine transposed: column j in 0..2 scales
               point dim j, column 3 is the constant term.
-    pts_ref:  (1, 8, NT)  f32 — points tile transposed, row k = dim k,
-              rows 3..7 sublane padding.
+    pts_ref (spatial=None only): (1, 8, NT) f32 — points tile transposed,
+              row k = dim k, rows 3..7 sublane padding.
     out_ref:  (1, 8, NT)  f32 — rows 0..2 the moved coordinates.
+
+    With ``spatial`` = (D, H, W), the query points are the IDENTITY grid
+    (`coords.uniform_norm_grid`: inclusive-endpoint linspace per axis, `ij`
+    order) generated IN-KERNEL from the flat tile index — the planes-native
+    serving path (`tps_planes`) has no (N, 3) points input at all, and no
+    minor-dim-3 transposes anywhere.
     """
-    pts = pts_ref[0]  # (8, NT)
+    if spatial is None:
+        pts_ref, out_ref = refs
+        pts = pts_ref[0]  # (8, NT)
+    else:
+        (out_ref,) = refs
+        D, H, W = spatial
+        t = pl.program_id(1)
+        n = t * NT + jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1)
+        rows = []
+        for idx, S in (((n // (H * W)), D), ((n // W) % H, H), (n % W, W)):
+            step = jnp.float32(2.0 / (S - 1)) if S > 1 else jnp.float32(0.0)
+            rows.append(idx.astype(jnp.float32) * step - 1.0)
+        pts = jnp.concatenate(rows + [jnp.zeros((5, NT), jnp.float32)], axis=0)
     ctrl = ctrl_ref[0]  # (Tp, 128)
 
     # squared distances: sum_k (ctrl[t, k] - pts[k, n])^2  -> (Tp, NT)
@@ -107,26 +125,37 @@ def _kernel(ctrl_ref, wgt_ref, aff_ref, pts_ref, out_ref, *, Tp, NT):
     out_ref[0] = b + z
 
 
-def _tps_flow_pallas(ctrl_cols, wgt_t, aff_t, pts_t, *, interpret):
-    """pts_t: (B, 8, N) padded/augmented points. Returns (B, 8, N) f32."""
-    B, _, N = pts_t.shape
+def _tps_flow_pallas(ctrl_cols, wgt_t, aff_t, pts_t=None, *, N=None,
+                     interpret, spatial=None):
+    """pts_t: (B, 8, N) padded/augmented points, or None with ``spatial``
+    set (identity-grid points generated in-kernel). Returns (B, 8, N) f32."""
+    B = ctrl_cols.shape[0]
+    if pts_t is not None:
+        N = pts_t.shape[2]
     Tp = ctrl_cols.shape[1]
     grid = (B, N // _NT)
+    in_specs = [
+        pl.BlockSpec((1, Tp, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, Tp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 8), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [ctrl_cols, wgt_t, aff_t]
+    if pts_t is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 8, _NT), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(pts_t)
     return pl.pallas_call(
-        functools.partial(_kernel, Tp=Tp, NT=_NT),
+        functools.partial(_kernel, Tp=Tp, NT=_NT, spatial=spatial),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, Tp, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, Tp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 8), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _NT), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 8, _NT), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, 8, N), jnp.float32),
         interpret=interpret,
-    )(ctrl_cols, wgt_t, aff_t, pts_t)
+    )(*args)
 
 
 def tps_flow_eligible(points) -> bool:
@@ -143,16 +172,13 @@ def _xla_eval(theta, ctrl, points):
     return solvers.tps_eval(theta, ctrl, points)
 
 
-@jax.custom_vjp
-def _tps_flow(theta, ctrl, points):
-    B, N, d = points.shape
-    T = ctrl.shape[1]
+def _pack_params(theta, ctrl, d):
+    """theta/ctrl -> the kernel's (ctrl_cols, wgt_t, aff_t) operands."""
+    B, T = ctrl.shape[:2]
     Tp = _round_up(T, 128)
-
     wgt = theta[:, : -(d + 1), :].astype(jnp.float32)  # (B, T, 3)
     affine = theta[:, -(d + 1) :, :].astype(jnp.float32)  # (B, 4, 3)
     ctrl = ctrl.astype(jnp.float32)
-    points = points.astype(jnp.float32)
 
     # ctrl_cols: (B, Tp, 128), dim k in lane-column k; padded rows sit at
     # the origin but their weight columns are zero so they cancel exactly.
@@ -168,10 +194,19 @@ def _tps_flow(theta, ctrl, points):
     aff_t = jnp.zeros((B, 8, 8), jnp.float32)
     aff_t = aff_t.at[:, :3, :3].set(jnp.swapaxes(affine[:, 1:], 1, 2))
     aff_t = aff_t.at[:, :3, 3].set(jnp.swapaxes(affine[:, :1], 1, 2)[..., 0])
+    return ctrl_cols, wgt_t, aff_t
+
+
+@jax.custom_vjp
+def _tps_flow(theta, ctrl, points):
+    B, N, d = points.shape
+    ctrl_cols, wgt_t, aff_t = _pack_params(theta, ctrl, d)
 
     # pts_t: (B, 8, N) — rows 0..2 the coords, rows 3..7 sublane padding
     # (one pad op; the affine constant term is a broadcast in-kernel).
-    pts_t = jnp.pad(jnp.swapaxes(points, 1, 2), ((0, 0), (0, 5), (0, 0)))
+    pts_t = jnp.pad(
+        jnp.swapaxes(points.astype(jnp.float32), 1, 2), ((0, 0), (0, 5), (0, 0))
+    )
 
     interpret = jax.default_backend() == "cpu"
     out = _tps_flow_pallas(ctrl_cols, wgt_t, aff_t, pts_t, interpret=interpret)
@@ -194,3 +229,60 @@ _tps_flow.defvjp(_tps_flow_fwd, _tps_flow_bwd)
 def tps_flow(theta, ctrl, points):
     """Fused dense TPS evaluation; same contract as `solvers.tps_eval`."""
     return _tps_flow(theta, ctrl, points)
+
+
+def _xla_planes(theta, ctrl, spatial):
+    from keymorph_tpu.ops import coords
+
+    B = theta.shape[0]
+    n = 1
+    for s in spatial:
+        n *= int(s)
+    pts = jnp.broadcast_to(coords.flat_norm_grid(spatial), (B, n, 3))
+    moved = _xla_eval(theta, ctrl, pts)  # (B, N, 3)
+    return jnp.moveaxis(moved, -1, 1).reshape(B, 3, *spatial)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _tps_planes(theta, ctrl, spatial):
+    B = theta.shape[0]
+    D, H, W = (int(s) for s in spatial)
+    N = D * H * W
+    if os.environ.get("KM_NO_FAST_TPS") or N % _NT != 0:
+        return _xla_planes(theta, ctrl, spatial)
+    ctrl_cols, wgt_t, aff_t = _pack_params(theta, ctrl, 3)
+    interpret = jax.default_backend() == "cpu"
+    out = _tps_flow_pallas(
+        ctrl_cols, wgt_t, aff_t, None, N=N, interpret=interpret,
+        spatial=(D, H, W),
+    )  # (B, 8, N)
+    return out[:, :3].reshape(B, 3, D, H, W)
+
+
+def _tps_planes_fwd(theta, ctrl, spatial):
+    return _tps_planes(theta, ctrl, spatial), (theta, ctrl)
+
+
+def _tps_planes_bwd(spatial, res, g):
+    theta, ctrl = res
+    _, vjp = jax.vjp(lambda th, c: _xla_planes(th, c, spatial), theta, ctrl)
+    return vjp(g)
+
+
+_tps_planes.defvjp(_tps_planes_fwd, _tps_planes_bwd)
+
+
+def tps_planes(theta, ctrl, spatial):
+    """`ij`-ordered flow PLANES of a fitted TPS at the identity grid.
+
+    The planes-native serving path: equals
+    ``moveaxis(tps_eval(theta, ctrl, flat_norm_grid(spatial)), -1, 1)``
+    reshaped to (B, 3, D, H, W) — i.e. exactly what `ops.resample`'s
+    ``warp_planes`` consumes — but the identity grid is generated inside
+    the kernel from the flat index and the output is emitted plane-major,
+    so neither the (N, 3) points tensor nor any minor-dim-3 transpose ever
+    touches HBM. Reference semantics anchor: keypoint_aligners.py:365-433
+    + the grid orientation of model.py:264-288 (the xy flip happens in the
+    grid contract, not here).
+    """
+    return _tps_planes(theta, ctrl, tuple(int(s) for s in spatial))

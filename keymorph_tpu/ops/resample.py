@@ -118,6 +118,24 @@ def align_img(grid, x, mode="bilinear", allow_pallas=True):
     return grid_sample(x, grid, mode=mode, allow_pallas=allow_pallas)
 
 
+def align_planes(planes, x, mode="bilinear", allow_pallas=True):
+    """Warp image `x` from `ij`-ordered coordinate PLANES (B, 3, D, H, W).
+
+    The planes-native serving companion of :func:`align_img`: identical
+    values (`align_img(grid, x) == align_planes(flip(moveaxis(grid, -1, 1),
+    1), x)`), but callers that already hold planes — `align_pair(...,
+    compute_grid="planes")` — skip the grid's minor-dim-3 transpose
+    entirely. Semantics anchor: reference utils.py:14-21.
+    """
+    if allow_pallas and planes.shape[1] == 3 and mode in ("bilinear", "nearest"):
+        from keymorph_tpu.ops.pallas import resample3d
+
+        return resample3d.warp_planes(x, planes, mode)
+    from keymorph_tpu.ops.planes import grid_sample_planes
+
+    return grid_sample_planes(x, planes, mode=mode)
+
+
 def displacement2flow(displacement_field):
     """Voxel-unit displacement field -> [-1, 1] sampling flow.
 

@@ -83,3 +83,46 @@ def test_kernel_vjp_matches_xla_grad(rng):
     g1 = jax.grad(lambda th: jnp.sum(tpsflow.tps_flow(th, ctrl, pts) ** 2))(theta)
     g2 = jax.grad(lambda th: jnp.sum(solvers.tps_eval(th, ctrl, pts) ** 2))(theta)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-4, rtol=1e-4)
+
+
+def test_tps_planes_matches_grid_path(rng):
+    """tps_planes (in-kernel identity grid, plane-major output) equals the
+    grid-path planes flip(moveaxis(grid)) — the planes-native serving
+    contract of align_pair(compute_grid='planes')."""
+    from keymorph_tpu.ops import coords
+
+    theta, ctrl = _fit(rng, B=2, T=24)
+    spatial = (16, 16, 32)  # N = 8192 (kernel-eligible)
+    n = int(np.prod(spatial))
+    planes = tpsflow.tps_planes(theta, ctrl, spatial)
+    pts = jnp.broadcast_to(coords.flat_norm_grid(spatial), (2, n, 3))
+    moved = solvers.tps_eval(theta, ctrl, pts)
+    ref = jnp.moveaxis(moved, -1, 1).reshape(2, 3, *spatial)
+    np.testing.assert_allclose(np.asarray(planes), np.asarray(ref), atol=2e-4)
+    # ineligible N falls back to the XLA formulation, same contract
+    sp2 = (6, 10, 14)
+    p2 = tpsflow.tps_planes(theta, ctrl, sp2)
+    n2 = int(np.prod(sp2))
+    pts2 = jnp.broadcast_to(coords.flat_norm_grid(sp2), (2, n2, 3))
+    ref2 = jnp.moveaxis(solvers.tps_eval(theta, ctrl, pts2), -1, 1).reshape(2, 3, *sp2)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(ref2), atol=1e-5)
+
+
+def test_align_pair_planes_end_to_end(rng):
+    """align_pair(compute_grid='planes') + align_planes == grid + align_img
+    for tps, affine, and rigid."""
+    from keymorph_tpu.models.keymorph import align_pair
+    from keymorph_tpu.ops.resample import align_img, align_planes
+
+    B, T, spatial = 2, 24, (16, 16, 32)
+    pf = jnp.asarray(rng.uniform(-0.7, 0.7, (B, T, 3)).astype(np.float32))
+    pm = pf + jnp.asarray(rng.normal(0, 0.04, (B, T, 3)).astype(np.float32))
+    img = jnp.asarray(rng.random((B, 1, *spatial), dtype=np.float32))
+    for at in ("tps", "affine", "rigid"):
+        kw = dict(lmbda=jnp.full((B,), 1.0)) if at == "tps" else {}
+        og = align_pair(pf, pm, at, spatial, num_chunks=4, compute_grid=True, **kw)
+        op = align_pair(pf, pm, at, spatial, num_chunks=4,
+                        compute_grid="planes", **kw)
+        a = np.asarray(align_img(og["grid"], img))
+        b = np.asarray(align_planes(op["planes"], img))
+        np.testing.assert_allclose(a, b, atol=5e-4)
