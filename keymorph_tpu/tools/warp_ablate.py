@@ -8,7 +8,11 @@ timing tool only. Exceptions: `cheapoh` (correct: separable weight build)
 and `mxuoh` (bf16-rounded hats, ~1e-3 — same class as KM_WARP_BF16); both
 are candidate optimizations.
 
-Usage: python -m keymorph_tpu.tools.warp_ablate [S] [mode,mode,...]
+Usage: python -m keymorph_tpu.tools.warp_ablate [S] [mode,mode,...] [deg scale]
+
+Flow presets: the default (14 deg, 1.10) spans (15, 20, 36) per tile — the
+BIG window rung. `deg scale` = `4 1.04` spans (8, 17, 35) — fits the SMALL
+(8, 24, 64) rung, like real bench TPS flows (measured (7, 18, 33) at 256^3).
 """
 
 from __future__ import annotations
@@ -32,14 +36,22 @@ def main():
 
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     modes = sys.argv[2].split(",") if len(sys.argv) > 2 else MODES
+    deg = float(sys.argv[3]) if len(sys.argv) > 3 else 14.0
+    scale = float(sys.argv[4]) if len(sys.argv) > 4 else 1.10
     rng = np.random.default_rng(0)
-    planes = jnp.asarray(_rot_scale_planes(S))
+    planes = jnp.asarray(_rot_scale_planes(S, deg, scale))
 
     from keymorph_tpu.ops.pallas import resample3d as _r
 
     assert bool(
         _r._tile_spans_fit(planes[0], (S, S, S), nearest=False)
     ), "flow exceeds the kernel windows: this would time the XLA fallback"
+    spans = _r._tile_spans(planes[0], (S, S, S), nearest=False)
+    for w in _r._tile_config()[1]:
+        eff = _r._effective_win(w, (S, S, S))
+        if bool(jnp.all(spans <= jnp.asarray(eff, jnp.float32))):
+            print(f"# flow spans {np.asarray(spans)} -> window rung {eff}")
+            break
     srcs = [
         jnp.asarray(rng.random((1, 1, S, S, S), dtype=np.float32))
         for _ in range(3)
