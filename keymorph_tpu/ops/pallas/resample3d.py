@@ -217,12 +217,19 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
 
         if ablate != "nodma":
             dma(s, slot, z0, y0).wait()
-        for c in range(channels):
-            if ablate == "nomm":
+        if ablate == "nomm":
+            for c in range(channels):
                 out_ref[0, s : s + 1, c * B : (c + 1) * B] = jnp.sum(
                     hx, axis=0, keepdims=True
                 ) + jnp.sum(oh, axis=0, keepdims=True)
-                continue
+            continue
+
+        # window each channel's band rows (x-selection by lane roll), then
+        # stack channels along the matmul M dim: ONE MXU dispatch per
+        # sub-tile regardless of channel count (one-hot seg warps carry
+        # C = 5-50; a per-channel matmul loop was C dispatches)
+        bands = []
+        for c in range(channels):
             band2 = band[slot, c].reshape(R, Xp)
             if ablate == "noroll":
                 band2 = band2[:, :XW]
@@ -237,37 +244,45 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
                     )[:, :XW].astype(band2.dtype)
                 else:
                     band2 = pltpu.roll(band2, -x0, 1)[:, :XW]
-            # contract band rows against one-hot rows: (R,XW)x(R,B)->(XW,B).
-            # Precision: ONE bf16 matmul of the hi/lo decompositions stacked
-            # on both output dims — lhs [bh|bl] (R, 2XW), rhs [ohh|ohl]
-            # (R, 2B) — whose four (XW, B) blocks sum to the exact product
-            # (b.o = (bh+bl)(ohh+ohl), each bf16 x bf16 product exact in the
-            # fp32 accumulator). vs the original 6-pass HIGHEST: one
-            # dispatch instead of 6, M = 2XW fills the MXU's 128 sublanes,
-            # and 4/6 of the FLOPs. KM_WARP_BF16=1 runs one single-width
-            # pass (band + weights rounded to bf16, fp32 accumulate):
-            # ~2x further, ~1e-3 relative error.
-            def _mm(a, b):
-                return jax.lax.dot_general(
-                    a, b, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            bands.append(band2)
+        bandC = bands[0] if channels == 1 else jnp.concatenate(bands, axis=1)
 
-            if bf16_mm:
-                tmp = _mm(band2, oh.astype(jnp.bfloat16))
-            else:
-                bf = band2.astype(jnp.float32)
-                bh = bf.astype(jnp.bfloat16)
-                bl = (bf - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-                ohh = oh.astype(jnp.bfloat16)
-                ohl = (oh - ohh.astype(jnp.float32)).astype(jnp.bfloat16)
-                q = _mm(
-                    jnp.concatenate([bh, bl], axis=1),
-                    jnp.concatenate([ohh, ohl], axis=1),
-                )  # (2XW, 2B)
-                tmp = (
-                    q[:XW, :B] + q[:XW, B:] + q[XW:, :B] + q[XW:, B:]
-                )
+        # contract band rows against one-hot rows:
+        # (R, C*XW) x (R, B) -> (C*XW, B).
+        # Precision: ONE bf16 matmul of the hi/lo decompositions stacked
+        # on both output dims — lhs [bh|bl] (R, 2*C*XW), rhs [ohh|ohl]
+        # (R, 2B) — whose four (C*XW, B) blocks sum to the exact product
+        # (b.o = (bh+bl)(ohh+ohl), each bf16 x bf16 product exact in the
+        # fp32 accumulator). vs the original 6-pass HIGHEST: one dispatch
+        # instead of 6, M >= 2XW fills the MXU's 128 sublanes, and 4/6 of
+        # the FLOPs. KM_WARP_BF16=1 runs one single-width pass (band +
+        # weights rounded to bf16, fp32 accumulate): ~2x further, ~1e-3
+        # relative error.
+        CXW = channels * XW
+
+        def _mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if bf16_mm:
+            tmp_all = _mm(bandC, oh.astype(jnp.bfloat16))  # (C*XW, B)
+        else:
+            bf = bandC.astype(jnp.float32)
+            bh = bf.astype(jnp.bfloat16)
+            bl = (bf - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            ohh = oh.astype(jnp.bfloat16)
+            ohl = (oh - ohh.astype(jnp.float32)).astype(jnp.bfloat16)
+            q = _mm(
+                jnp.concatenate([bh, bl], axis=1),
+                jnp.concatenate([ohh, ohl], axis=1),
+            )  # (2*C*XW, 2B)
+            tmp_all = (
+                q[:CXW, :B] + q[:CXW, B:] + q[CXW:, :B] + q[CXW:, B:]
+            )
+        for c in range(channels):
+            tmp = tmp_all[c * XW : (c + 1) * XW]
             o = jnp.sum(tmp * hx, axis=0, keepdims=True)  # (1, B)
             out_ref[0, s : s + 1, c * B : (c + 1) * B] = o
 
@@ -455,7 +470,12 @@ def _max_band_channels(src_spatial, win=None):
     Xp = _round_up(X, 128)
     R = DZ * YW
     B = BZ * BY * BX
-    per_channel = (2 * DZ * YW * Xp + R * Xp + B * (XW + 2 * _GROUP)) * 4
+    # channel-scaled VMEM: double-buffered band, the rolled (R, Xp)
+    # transient, the channel-stacked matmul operands (hi/lo bf16 ~ 2 words
+    # of R*XW) + its (XW, B) output slab, and the output lanes
+    per_channel = (
+        2 * DZ * YW * Xp + R * Xp + 2 * R * XW + B * (2 * XW + 2 * _GROUP)
+    ) * 4
     return max(1, _BAND_VMEM_BUDGET // per_channel)
 
 
