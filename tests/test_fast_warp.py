@@ -213,3 +213,14 @@ def test_window_ladder_mid_flow(rng):
     out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
     ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_bf16_band_multichannel(rng, monkeypatch):
+    """KM_WARP_BF16 with C>1 exercises the channel-stacked single-width
+    matmul; parity within bf16 rounding."""
+    monkeypatch.setenv("KM_WARP_BF16", "1")
+    src = rng.random((1, 3, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
+    ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1.5e-2)
