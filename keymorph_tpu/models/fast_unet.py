@@ -28,6 +28,7 @@ same network this re-executes); SURVEY §7's "keep the MXU busy" rule.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict
 
 import jax
@@ -190,7 +191,12 @@ def _double_conv(p, x, fast: bool, num_groups: int, stats0=None):
     if fast:
         # conv1 emits its output stats in-kernel iff conv2 will normalize —
         # the (Z, C1, Y, X) intermediate is then never re-read for stats
-        wants = "GroupNorm_0" in p["SingleConv_1"]
+        # (KM_NO_CONV_STATS=1 is the kill-switch: falls back to the XLA
+        # reduce without touching the conv kernel itself)
+        wants = (
+            "GroupNorm_0" in p["SingleConv_1"]
+            and os.environ.get("KM_NO_CONV_STATS") != "1"
+        )
         r = _single_conv_zc(p["SingleConv_0"], x, num_groups, stats=stats0,
                             emit_stats=wants)
         x, s1 = r if wants else (r, None)
