@@ -168,9 +168,11 @@ def main_with_watchdog():
     import subprocess
     import sys
 
-    # cold-cache 256^3 compiles over the tunnel alone can take ~10 min;
-    # the watchdog exists for WEDGED tunnels, not slow compiles
-    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "1500"))
+    # cold-cache 256^3 compiles over the tunnel alone can take ~10 min (and
+    # a watchdog kill of an in-flight compile wedges the tunnel for the
+    # NEXT run too); the watchdog exists for WEDGED tunnels, not slow
+    # compiles — keep it well above worst-case compile time
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "2700"))
     env = dict(os.environ, KM_BENCH_CHILD="1")
     try:
         proc = subprocess.run(
