@@ -24,12 +24,12 @@ import os
 import time
 
 
-def build_register(net, num_chunks: int):
+def build_register(net, num_chunks: int, planes: bool = True):
     import jax
     import jax.numpy as jnp
 
     from keymorph_tpu.models.keymorph import align_pair
-    from keymorph_tpu.ops.resample import align_planes
+    from keymorph_tpu.ops.resample import align_img, align_planes
 
     @jax.jit
     def register(params, img_f, img_m):
@@ -41,10 +41,13 @@ def build_register(net, num_chunks: int):
             img_f.shape[2:],
             lmbda=jnp.full((img_f.shape[0],), 1.0),
             num_chunks=num_chunks,  # bound the K x N_grid RBF matrix in HBM
-            compute_grid="planes",  # planes-native serving path (no grid
-            # materialization / minor-dim-3 transposes between solve + warp)
+            compute_grid="planes" if planes else True,
+            # planes: the planes-native serving path — no grid
+            # materialization / minor-dim-3 transposes between solve + warp
         )
-        return align_planes(out["planes"], img_m)
+        if planes:
+            return align_planes(out["planes"], img_m)
+        return align_img(out["grid"], img_m)
 
     return register
 
@@ -84,8 +87,23 @@ def main():
     img_m = jax.random.uniform(jax.random.PRNGKey(1), shape, jnp.float32)
     params = net.init(jax.random.PRNGKey(2), img_f, img_m)
 
-    register = build_register(net, num_chunks=8)
-    register(params, img_f, img_m).block_until_ready()
+    try:
+        register = build_register(net, num_chunks=8)
+        register(params, img_f, img_m).block_until_ready()
+    except Exception as e:  # noqa: BLE001
+        # Self-degrade: if the newest kernel forms fail this backend's
+        # Mosaic build (server-side compiles can't be validated offline),
+        # fall back to the previously-proven configuration — big-window
+        # warp ladder rung, XLA GroupNorm stats, grid-path TPS — and
+        # measure that instead of reporting nothing.
+        import sys
+
+        sys.stderr.write(f"bench: full config failed ({str(e)[:200]}); "
+                         "retrying proven fallback config\n")
+        os.environ["KM_NO_CONV_STATS"] = "1"
+        os.environ["KM_WARP_TILES"] = "4,8,32,16,40,64"
+        register = build_register(net, num_chunks=8, planes=False)
+        register(params, img_f, img_m).block_until_ready()
 
     # warm the chained shape path too
     out = register(params, img_f, img_m)
