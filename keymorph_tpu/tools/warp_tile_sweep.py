@@ -20,11 +20,11 @@ import time
 import numpy as np
 
 CONFIGS = [
-    "4,8,32,16,40,64",   # shipped default (round 2)
+    "4,8,32,16,40,64",   # shipped BIG ladder rung (round-2 default)
+    "4,8,32,8,24,64",    # shipped SMALL ladder rung (smooth flows)
     "4,8,32,16,32,64",   # YW 40->32
-    "4,8,32,16,32,48",   # + narrower x window
+    "4,8,32,8,16,64",    # even smaller y window (spans permitting)
     "8,8,16,16,24,32",   # cubier tile: R and XW both shrink
-    "8,8,16,16,32,32",
     "4,16,16,16,32,32",
 ]
 
@@ -55,8 +55,12 @@ def main():
     from keymorph_tpu.tools.trace_summary import find_trace_file, summarize_trace
 
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    deg = float(sys.argv[2]) if len(sys.argv) > 2 else 14.0
+    scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.10
     rng = np.random.default_rng(0)
-    planes_np = _rot_scale_planes(S)
+    # pick the flow to match the rung under test: 14/1.10 exercises the big
+    # windows; 4/1.04 fits the small (8, 24, 64) rung (bench-like flows)
+    planes_np = _rot_scale_planes(S, deg, scale)
     srcs = [
         jnp.asarray(rng.random((1, 1, S, S, S), dtype=np.float32))
         for _ in range(3)
