@@ -482,12 +482,99 @@ def _conv_fwd(x, w, scale, shift, bias, relu, emit_stats):
     )
 
 
-def _conv_bwd(relu, emit_stats, res, g):
+def _conv_bwd_xla(relu, emit_stats, res, g):
     x, w, scale, shift, bias = res
     def f(x_, w_, scale_, shift_, bias_):
         return _conv_xla(x_, w_, scale_, shift_, bias_, relu, emit_stats)
     _, vjp = jax.vjp(f, x, w, scale, shift, bias)
     return vjp(g)
+
+
+def _conv_bwd(relu, emit_stats, res, g):
+    """Backward pass. The input gradient of a 3^3 SAME conv is itself a 3^3
+    SAME conv (taps flipped, Cin/Cout transposed), so it rides the SAME
+    Pallas kernel that makes the forward fast — XLA's transposed conv on
+    this (Z, C, Y, X) layout collapses at small channel counts exactly like
+    its forward did (the measured reason KM_TRAIN_FAST_EXTRACT lost,
+    PERF.md). The weight/affine/bias gradients are reductions; the weight
+    gradient goes through jax.vjp of the XLA formulation (DCE keeps only
+    the wgrad conv).
+
+    Forward decomposition: u = a*x + b ; v = conv_W(pad0(u)) + bias ;
+    y = relu(v), with stats (mean, msq) of bf16(y) when emit_stats.
+    """
+    x, w, scale, shift, bias = res
+    if not (
+        fast_conv_enabled()
+        and _shapes_eligible(tuple(int(s) for s in x.shape))
+        and _pick_tiles(
+            int(w.shape[-1]), int(x.shape[1]), int(x.shape[2]), int(x.shape[3])
+        )
+        is not None
+    ):
+        return _conv_bwd_xla(relu, emit_stats, res, g)
+
+    if emit_stats:
+        g_y, (g_m, g_m2) = g
+    else:
+        g_y = g
+    g_y = g_y.astype(jnp.float32)
+
+    # recompute the forward output cheaply where needed (relu mask / stats
+    # chain); one extra kernel conv is far cheaper than the XLA transposed
+    # conv this replaces
+    need_y = relu or emit_stats
+    y = _conv_fwd_impl(x, w, scale, shift, bias, relu, False) if need_y else None
+
+    if emit_stats:
+        # stats = (sum(y)/N, sum(y^2)/N) over (Z, Y, X) per Cout
+        n = jnp.float32(x.shape[0] * x.shape[2] * x.shape[3])
+        yf = y.astype(jnp.float32)
+        g_y = g_y + (
+            g_m.astype(jnp.float32)[None, :, None, None]
+            + 2.0 * yf * g_m2.astype(jnp.float32)[None, :, None, None]
+        ) / n
+    if relu:
+        g_v = jnp.where(y > 0, g_y, 0.0).astype(jnp.bfloat16)
+    else:
+        g_v = g_y.astype(jnp.bfloat16)
+
+    # g_u = conv_{W~}(pad0(g_v)): taps flipped, Cin/Cout transposed. The
+    # kernel with shift=None runs exact zero-padding semantics.
+    w_t = jnp.flip(w, axis=(0, 1, 2))
+    w_t = jnp.swapaxes(w_t, 3, 4)  # (3,3,3, Cout, Cin)
+    interpret = jax.default_backend() == "cpu"
+    g_u = _conv_pallas(
+        g_v, w_t, None, None, None, False, interpret
+    ).astype(jnp.float32)
+
+    g_x = g_u if scale is None else g_u * scale.astype(jnp.float32)[None, :, None, None]
+    g_x = g_x.astype(x.dtype)
+
+    g_scale = None
+    if scale is not None:
+        g_scale = jnp.sum(
+            g_u * x.astype(jnp.float32), axis=(0, 2, 3)
+        ).astype(scale.dtype)
+    g_shift = None
+    if shift is not None:
+        g_shift = jnp.sum(g_u, axis=(0, 2, 3)).astype(shift.dtype)
+    g_bias = None
+    if bias is not None:
+        g_bias = jnp.sum(
+            g_v.astype(jnp.float32), axis=(0, 2, 3)
+        ).astype(bias.dtype)
+
+    # weight gradient: vjp of the XLA formulation w.r.t. w only (XLA's
+    # wgrad conv; the dead x-gradient branch is eliminated). No relu/bias:
+    # their effect is already inside g_v.
+    def f_w(w_):
+        return _conv_xla(x, w_, scale, shift, None, False)
+
+    _, vjp_w = jax.vjp(f_w, w)
+    (g_w,) = vjp_w(g_v.astype(jnp.bfloat16))
+
+    return g_x, g_w, g_scale, g_shift, g_bias
 
 
 _conv.defvjp(_conv_fwd, _conv_bwd)

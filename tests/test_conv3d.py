@@ -143,3 +143,27 @@ def test_conv_emit_stats_multi_group_and_grad(rng, monkeypatch):
 
     g = jax.grad(loss)(x)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_conv_pallas_backward_matches_xla(rng, monkeypatch):
+    """The hand-written backward (input-gradient rides the Pallas kernel
+    with flipped/transposed taps; reductions for affine/bias; XLA wgrad)
+    matches the XLA-formulation vjp within bf16 arithmetic noise."""
+    x = _mk(rng, (6, 16, 16, 128))
+    w = _mk(rng, (3, 3, 3, 16, 32)) * 0.1
+    scale, shift = _mk(rng, (16,)), _mk(rng, (16,))
+
+    def loss(x_, w_, scale_, shift_):
+        o, (m, m2) = conv3d.conv3x3_fused(x_, w_, scale_, shift_, relu=True,
+                                          emit_stats=True)
+        return (jnp.sum(o.astype(jnp.float32) ** 2) * 1e-2
+                + jnp.sum(m * jnp.arange(32)) + jnp.sum(m2))
+
+    g_fast = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w, scale, shift)
+    monkeypatch.setenv("KM_NO_FAST_CONV", "1")
+    monkeypatch.delenv("KM_FORCE_FAST_CONV")
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w, scale, shift)
+    for a, b in zip(g_fast, g_ref):
+        an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        sc = max(np.abs(bn).max(), 1e-6)
+        assert np.abs(an - bn).max() / sc < 3e-2
