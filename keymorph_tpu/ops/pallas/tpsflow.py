@@ -158,9 +158,18 @@ def _tps_flow_pallas(ctrl_cols, wgt_t, aff_t, pts_t=None, *, N=None,
     )(*args)
 
 
+def _backend_ok() -> bool:
+    """Mosaic lowering exists only for TPU; CPU runs the kernel in
+    interpret mode (tests). Any other backend (GPU included) must take
+    the XLA path — same allowlist rule as resample3d.fast_warp_enabled."""
+    return jax.default_backend() in ("tpu", "cpu")
+
+
 def tps_flow_eligible(points) -> bool:
-    """Static eligibility for the fused kernel (shape-only)."""
+    """Static eligibility for the fused kernel (shape + backend)."""
     if os.environ.get("KM_NO_FAST_TPS"):
+        return False
+    if not _backend_ok():
         return False
     B, N, d = points.shape
     return d == 3 and N % _NT == 0
@@ -248,7 +257,7 @@ def _tps_planes(theta, ctrl, spatial):
     B = theta.shape[0]
     D, H, W = (int(s) for s in spatial)
     N = D * H * W
-    if os.environ.get("KM_NO_FAST_TPS") or N % _NT != 0:
+    if os.environ.get("KM_NO_FAST_TPS") or N % _NT != 0 or not _backend_ok():
         return _xla_planes(theta, ctrl, spatial)
     ctrl_cols, wgt_t, aff_t = _pack_params(theta, ctrl, 3)
     interpret = jax.default_backend() == "cpu"
