@@ -80,6 +80,8 @@ def imshow_img_and_points_3d(
     projection: bool = True,
     slab_thickness: int = 10,
     rotate_90_deg: int = 0,
+    markers="o",
+    axes=None,
     save_path: Optional[str] = None,
 ):
     """3-orthogonal-view plot of a volume with depth-colored keypoints
@@ -90,6 +92,12 @@ def imshow_img_and_points_3d(
     the keypoints within ``slab_thickness`` voxels of that slice, colored by
     their depth within the slab (viz_tools.py:185-191). ``rotate_90_deg``
     rotates the displayed views by k*90 degrees (viz_tools.py:234-236).
+
+    ``points`` may be (N, 3) or (G, N, 3) — point groups render with the
+    corresponding entry of ``markers`` (reference overlays aligned+fixed
+    points on the warped panel with '.'/'x', viz_tools.py:428-436).
+    ``axes``: render into three existing matplotlib axes instead of a new
+    figure (returns the parent figure either way).
     """
     import matplotlib
 
@@ -99,7 +107,14 @@ def imshow_img_and_points_3d(
     img = _np(img)
     pts = _np(points)
     w = _np(weights)
-    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    if pts is not None and pts.ndim == 2:
+        pts = pts[None]
+    if isinstance(markers, str):
+        markers = (markers,) * (1 if pts is None else len(pts))
+    if axes is None:
+        fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    else:
+        fig = axes[0].figure
     views = _three_views(img, projection) if img is not None else [None] * 3
     # view k drops axis k; remaining axes are (rows, cols)
     axis_pairs = [(1, 2), (0, 2), (0, 1)]
@@ -107,16 +122,15 @@ def imshow_img_and_points_3d(
         if view is not None:
             shown = np.rot90(view, k=rotate_90_deg) if rotate_90_deg else view
             ax.imshow(shown, cmap="gray")
-        ax.set_title(f"view {k}")
         ax.axis("off")
-        if pts is not None:
+        for g, pg in enumerate([] if pts is None else pts):
             r_ax, c_ax = axis_pairs[k]
-            pix = (pts + 1.0) / 2.0 * (np.asarray(img.shape) - 1.0)
+            pix = (pg + 1.0) / 2.0 * (np.asarray(img.shape) - 1.0)
             depth = pix[:, k]
             sizes = 20 if w is None else 5 + 200 * np.ravel(w) / np.max(w)
             if projection:
                 keep = np.ones(len(pix), bool)
-                colors = pts[:, k]
+                colors = pg[:, k]
             else:
                 # slab mode: points within slab_thickness of the center
                 # slice, colored by in-slab depth
@@ -138,9 +152,10 @@ def imshow_img_and_points_3d(
                 ax.scatter(
                     np.asarray(cc)[keep], np.asarray(rr)[keep], s=s,
                     c=np.asarray(colors)[keep], cmap="jet", alpha=0.8,
+                    marker=markers[g % len(markers)],
                 )
-    fig.tight_layout()
     if save_path:
+        fig.tight_layout()
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return fig
@@ -155,38 +170,42 @@ def imshow_registration_3d(
     points_a=None,
     weights=None,
     projection: bool = True,
+    slab_thickness: int = 10,
+    rotate_90_deg: int = 0,
+    suptitle: Optional[str] = None,
     save_path: Optional[str] = None,
 ):
-    """3x3 panel: rows = moving/fixed/aligned, cols = three orthogonal views,
-    keypoints overlaid (reference viz_tools.py:343-453)."""
+    """3x3 panel: columns = moving/fixed/aligned, rows = three orthogonal
+    views, keypoints overlaid (reference viz_tools.py:343-453). The aligned
+    column overlays BOTH the aligned ('.') and fixed ('x') keypoints so the
+    residual mismatch is visible; slab/rotate options pass through to
+    :func:`imshow_img_and_points_3d`."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     vols = [_np(img_m), _np(img_f), _np(img_a)]
-    all_pts = [_np(points_m), _np(points_f), _np(points_a)]
-    w = _np(weights)
+    p_m, p_f, p_a = _np(points_m), _np(points_f), _np(points_a)
+    if p_a is not None and p_f is not None:
+        pts_last = np.stack([p_a, p_f])
+        mk_last = (".", "x")
+    else:
+        pts_last, mk_last = p_a, "."
+    all_pts = [p_m, p_f, pts_last]
+    markers = [".", "x", mk_last]
     titles = ("Moving", "Fixed", "Aligned")
-    axis_pairs = [(1, 2), (0, 2), (0, 1)]
     fig, axes = plt.subplots(3, 3, figsize=(12, 12))
-    for r, (vol, pts, title) in enumerate(zip(vols, all_pts, titles)):
-        views = _three_views(vol, projection)
-        for k in range(3):
-            ax = axes[r, k]
-            ax.imshow(views[k], cmap="gray")
-            ax.axis("off")
-            if k == 0:
-                ax.set_ylabel(title)
-            ax.set_title(f"{title} v{k}", fontsize=9)
-            if pts is not None:
-                r_ax, c_ax = axis_pairs[k]
-                pix = (pts + 1.0) / 2.0 * (np.asarray(vol.shape) - 1.0)
-                sizes = 12 if w is None else 5 + 150 * np.ravel(w) / np.max(w)
-                ax.scatter(
-                    pix[:, c_ax], pix[:, r_ax], s=sizes, c=pts[:, k], cmap="jet",
-                    alpha=0.8,
-                )
+    for c, (vol, pts, title, mk) in enumerate(zip(vols, all_pts, titles, markers)):
+        imshow_img_and_points_3d(
+            vol, pts, weights,
+            projection=projection, slab_thickness=slab_thickness,
+            rotate_90_deg=rotate_90_deg, markers=mk,
+            axes=(axes[0, c], axes[1, c], axes[2, c]),
+        )
+        axes[0, c].set_title(title)
+    if suptitle:
+        fig.suptitle(suptitle)
     fig.tight_layout()
     if save_path:
         fig.savefig(save_path, dpi=120, bbox_inches="tight")

@@ -91,3 +91,17 @@ def test_imshow_points_slab_and_rotation(tmp_path, rng):
     )
     import os
     assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+def test_imshow_registration_3d_slab_rotate(tmp_path, rng):
+    """The 3x3 panel passes slab/rotate through and overlays aligned+fixed
+    points on the warped column (reference viz_tools.py:428-436)."""
+    vols = [rng.uniform(0, 1, size=(20, 20, 20)).astype("float32") for _ in range(3)]
+    pts = [rng.uniform(-0.9, 0.9, size=(16, 3)).astype("float32") for _ in range(3)]
+    p = str(tmp_path / "panel_slab.png")
+    viz.imshow_registration_3d(
+        *vols, *pts, projection=False, slab_thickness=8, rotate_90_deg=1,
+        suptitle="slab", save_path=p,
+    )
+    import os
+    assert os.path.getsize(p) > 0
