@@ -52,6 +52,18 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
+def _slide_stack(Cg, ZB):
+    """Sliding tap stack: every (z-plane, dy) block is copied ONCE per cell
+    into a ((ZB+2)*3*Cg, N) stack and each lz matmul reads the contiguous
+    K-slice [lz*3*Cg : lz*3*Cg + 9*Cg] — 3*(ZB+2) strided copies per cell
+    instead of 9*ZB (2x less at ZB=4). Requires the slice offset 3*Cg to be
+    a bf16 sublane-tile multiple (Cg % 16 == 0); other group sizes keep the
+    per-lz stacking. KM_NO_CONV_SLIDE=1 kills the path."""
+    if os.environ.get("KM_NO_CONV_SLIDE") == "1":
+        return False
+    return Cg % 16 == 0 and ZB >= 2
+
+
 def _pick_tiles(cin, cout, Y, X):
     """(ZB, YB, Cg): z rows per cell, y rows per cell, Cin chunk — sized
     against the ~16 MiB scoped-VMEM budget (band + S + acc + out block)."""
@@ -74,9 +86,14 @@ def _pick_tiles(cin, cout, Y, X):
             continue
         WL = (YB + 16) * X
         N = YB * X
+        s_rows = (
+            3 * (ZB + 2) * max(Cg, 8)
+            if _slide_stack(min(Cg, cin), ZB)
+            else 9 * max(Cg, 8)
+        )
         vmem = (
             2 * (ZB + 2) * Cg * WL * 2  # double-buffered input band (bf16)
-            + 9 * max(Cg, 8) * N * 2  # S stack (bf16; sublane-padded)
+            + s_rows * N * 2  # S stack (bf16; sublane-padded)
             + ZB * cout * N * 4  # fp32 accumulator
             + 2 * ZB * cout * N * 2  # pipelined output blocks (bf16)
             + 9 * cin * cout * 3 * 2  # weights
@@ -149,14 +166,29 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
         s1 = jnp.zeros((Cout, 1), jnp.float32)
         s2 = jnp.zeros((Cout, 1), jnp.float32)
 
-    for lz in range(ZB):
-        # stack the 9 (dz, dy) taps: S[(dz*3+dy)*Cg : +Cg, :] = shifted rows
-        for dz in range(3):
+    slide = _slide_stack(Cg, ZB)
+    if slide:
+        # sliding stack: each (z-plane, dy) block copied once per cell;
+        # every lz reads a contiguous K window (see _slide_stack)
+        for zp in range(ZB + 2):
             for dy in range(3):
-                s_ref[(dz * 3 + dy) * Cg : (dz * 3 + dy + 1) * Cg, :] = (
-                    band[slot, lz + dz, :, (7 + dy) * X : (7 + dy) * X + N]
+                s_ref[(zp * 3 + dy) * Cg : (zp * 3 + dy + 1) * Cg, :] = (
+                    band[slot, zp, :, (7 + dy) * X : (7 + dy) * X + N]
                 )
-        s = s_ref[...]
+
+    for lz in range(ZB):
+        if not slide:
+            # stack the 9 (dz, dy) taps: S[(dz*3+dy)*Cg : +Cg] = shifted rows
+            for dz in range(3):
+                for dy in range(3):
+                    s_ref[(dz * 3 + dy) * Cg : (dz * 3 + dy + 1) * Cg, :] = (
+                        band[slot, lz + dz, :, (7 + dy) * X : (7 + dy) * X + N]
+                    )
+        s = (
+            s_ref[lz * 3 * Cg : lz * 3 * Cg + 9 * Cg, :]
+            if slide
+            else s_ref[...]
+        )
         o = jnp.broadcast_to(b, (Cout, N)).astype(jnp.float32)
         o = o + jnp.where(lane == 0, c_left, 0.0)
         o = o + jnp.where(lane == X - 1, c_right, 0.0)
@@ -324,7 +356,13 @@ def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, ZB + 2, Cin, WL), jnp.bfloat16),
-            pltpu.VMEM((9 * Cin, N), jnp.bfloat16),
+            pltpu.VMEM(
+                (
+                    (3 * (ZB + 2) if _slide_stack(Cin, ZB) else 9) * Cin,
+                    N,
+                ),
+                jnp.bfloat16,
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

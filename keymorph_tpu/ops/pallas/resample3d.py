@@ -109,8 +109,7 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
     # KM_WARP_ABLATE (perf attribution only; most modes give WRONG results):
     #   nodma  - skip the band DMAs          nooh  - constant trilerp weights
     #   noroll - skip the x-window roll      nomm  - skip roll+matmul
-    #   cheapoh - separable weight build (correct; candidate optimization)
-    #   mxuoh - MXU-expanded weight build (bf16 hats; candidate optimization)
+    #   fatoh  - full (R, B) hat build (correct; the pre-round-3 default)
     ablate = os.environ.get("KM_WARP_ABLATE", "")
     Z, Y, X = src_spatial  # true dims: coordinate math and border clamping
     _, Yp, Xp = pad_spatial  # HBM memref dims (lane/sublane aligned)
@@ -175,44 +174,24 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
         zl = vz - z0.astype(jnp.float32)  # (1, B)
         yl = vy - y0.astype(jnp.float32)
         xl = vx - x0.astype(jnp.float32)
-        # hat(t) = max(0, 1 - |t|): exactly the two trilinear corner weights
+        # hat(t) = max(0, 1 - |t|): exactly the two trilinear corner weights.
+        # Default is the SEPARABLE build (device-measured 6.4 ms faster at
+        # 256^3 small rung than hat math at (R, B)): hats on the two small
+        # axes (DZ+YW rows), then an outer-product expansion — O(DZ*B+YW*B)
+        # transcendental-free VPU math plus two relayout copies and one
+        # multiply at (R, B). `fatoh` ablates back to the full (R, B) build.
         if ablate == "nooh":
             oh = jnp.full((R, B), 0.25, jnp.float32) + zl
-        elif ablate == "mxuoh":
-            # hats on the small axes, expanded to (R, B) by one-hot MXU
-            # matmuls (bf16 hats, ~1e-3 — same class as KM_WARP_BF16);
-            # trades the O(R*B) VPU hat math for 2 small matmuls + 1 multiply
-            zi = jax.lax.broadcasted_iota(jnp.int32, (DZ, 1), 0).astype(jnp.float32)
-            yi = jax.lax.broadcasted_iota(jnp.int32, (YW, 1), 0).astype(jnp.float32)
-            hz = jnp.maximum(0.0, 1.0 - jnp.abs(zi - zl))  # (DZ, B)
-            hy = jnp.maximum(0.0, 1.0 - jnp.abs(yi - yl))  # (YW, B)
-            ez = (rz == jax.lax.broadcasted_iota(jnp.float32, (R, DZ), 1)).astype(
-                jnp.bfloat16
-            )
-            ey = (ry == jax.lax.broadcasted_iota(jnp.float32, (R, YW), 1)).astype(
-                jnp.bfloat16
-            )
-
-            def _exp(e, h):
-                return jax.lax.dot_general(
-                    e, h.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
-            oh = _exp(ez, hz) * _exp(ey, hy)  # (R, B)
-        elif ablate == "cheapoh":
-            # separable build: hats on the two small axes (DZ+YW rows), then
-            # an outer-product expansion — O(DZ*B + YW*B) hat math instead
-            # of O(R*B), plus two relayout copies and one multiply at (R, B)
+        elif ablate == "fatoh":
+            oh = jnp.maximum(0.0, 1.0 - jnp.abs(rz - zl)) * jnp.maximum(
+                0.0, 1.0 - jnp.abs(ry - yl)
+            )  # (R, B)
+        else:
             zi = jax.lax.broadcasted_iota(jnp.int32, (DZ, 1), 0).astype(jnp.float32)
             yi = jax.lax.broadcasted_iota(jnp.int32, (YW, 1), 0).astype(jnp.float32)
             hz = jnp.maximum(0.0, 1.0 - jnp.abs(zi - zl))  # (DZ, B)
             hy = jnp.maximum(0.0, 1.0 - jnp.abs(yi - yl))  # (YW, B)
             oh = jnp.repeat(hz, YW, axis=0) * jnp.tile(hy, (DZ, 1))  # (R, B)
-        else:
-            oh = jnp.maximum(0.0, 1.0 - jnp.abs(rz - zl)) * jnp.maximum(
-                0.0, 1.0 - jnp.abs(ry - yl)
-            )  # (R, B)
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(cxi - xl))  # (XW, B)
 
         if ablate != "nodma":

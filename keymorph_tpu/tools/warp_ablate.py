@@ -4,9 +4,9 @@ Times the 256^3 single-channel warp (same representative flow as
 warp_tile_sweep) under each ablation mode; deltas vs the baseline localize
 the cost between the band DMAs, the one-hot weight build, the x-window
 roll, and the trilerp matmul. Most modes compute WRONG results — this is a
-timing tool only. Exceptions: `cheapoh` (correct: separable weight build)
-and `mxuoh` (bf16-rounded hats, ~1e-3 — same class as KM_WARP_BF16); both
-are candidate optimizations.
+timing tool only. Exception: `fatoh` (correct: the pre-round-3 full (R, B)
+hat build; the separable build is now the default after it measured 6.4 ms
+faster at the 256^3 small rung).
 
 Usage: python -m keymorph_tpu.tools.warp_ablate [S] [mode,mode,...] [deg scale]
 
@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-MODES = ["", "cheapoh", "mxuoh", "nooh", "noroll", "nomm", "nodma"]
+MODES = ["", "fatoh", "nooh", "noroll", "nomm", "nodma"]
 
 
 def main():

@@ -182,12 +182,12 @@ def test_bf16_band_mode_parity(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("mode,atol", [("cheapoh", 2e-5), ("mxuoh", 1.5e-2)])
+@pytest.mark.parametrize("mode,atol", [("fatoh", 2e-5)])
 def test_ablate_candidate_modes_parity(rng, mode, atol, monkeypatch):
-    """The two KM_WARP_ABLATE modes that are candidate optimizations (not
-    just timing stubs) must stay correct: cheapoh is exact (separable hat
-    build), mxuoh rounds the hats to bf16 (same error class as
-    KM_WARP_BF16)."""
+    """KM_WARP_ABLATE modes that compute real results must stay correct:
+    fatoh is the pre-round-3 full (R, B) hat build (the separable build is
+    now the default; device-measured 6.4 ms faster at the 256^3 small
+    rung). mxuoh was dropped — it crashed the tunnel's Mosaic build."""
     monkeypatch.setenv("KM_WARP_ABLATE", mode)
     src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
     planes = _smooth_planes(rng, (32, 32, 32))
