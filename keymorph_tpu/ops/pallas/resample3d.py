@@ -70,6 +70,18 @@ _WIN_LADDER = ((8, 24, 64), _WIN)
 # M=2*XW=128 fills the array exactly — so a narrower XW would buy nothing
 # and lose x-span robustness.
 
+# Group band window (GDZ, GYW): when the UNION span of a whole kernel cell
+# (_GROUP consecutive x-tiles — a full x-row at 256^3) fits these windows,
+# the cell issues ONE band DMA covering all 8 sub-tiles instead of 8
+# per-sub-tile DMAs (each sub-tile then slices its (DZ, YW) window out of
+# the group band in VMEM). The warp ablation measured the per-sub-tile DMAs
+# at 14.9 of 40.7 ms (256^3 small rung, fp32) — mostly issue/latency, so 8x
+# fewer, larger copies is the direct fix. Smooth serving flows fit (bench
+# TPS flow union ~(15-25, 18)); rotation-heavy flows exceed it (14 deg
+# rotation drifts z by ~62 voxels across a 256-voxel x-row) and take the
+# per-sub-tile rungs via the prepass. KM_NO_WARP_GROUP=1 kills the path.
+_GROUP_WIN = (32, 40)
+
 
 def _tile_config():
     """(tile, window ladder), overridable via KM_WARP_TILES=
@@ -89,7 +101,8 @@ _GROUP = 8  # sub-tiles per kernel cell (fills the output block's sublane dim)
 
 
 def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
-            pad_spatial, windows, channels, nearest, bf16_mm=False):
+            pad_spatial, windows, channels, nearest, bf16_mm=False,
+            group_windows=None):
     """One cell = _GROUP output tiles: band DMAs + one-hot-matmul trilerp.
 
     Layout note: every in-kernel array keeps voxels in LANES and small
@@ -157,7 +170,28 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
         )
 
     st = [starts(s) for s in range(_GROUP)]
-    if ablate != "nodma":
+
+    if group_windows is not None:
+        # ONE band DMA for the whole cell: union starts over all 8 sub-tiles
+        # (the prepass guaranteed the union span fits (GDZ, GYW)); each
+        # sub-tile below slices its own (DZ, YW) window out of the group
+        # band in VMEM. Kills the per-sub-tile DMA issue/latency wall.
+        GDZ, GYW = group_windows
+        z0g = st[0][3]
+        y0g = st[0][4]
+        for s in range(1, _GROUP):
+            z0g = jnp.minimum(z0g, st[s][3])
+            y0g = jnp.minimum(y0g, st[s][4])
+        z0g = jnp.clip(z0g, 0, max(Z - GDZ, 0))
+        y0g = pl.multiple_of(jnp.clip(y0g, 0, max(Yp - GYW, 0)), 8)
+        gcp = pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(z0g, GDZ), pl.ds(y0g, GYW), :],
+            band.at[0],
+            sem.at[0],
+        )
+        if ablate != "nodma":
+            gcp.start()  # overlaps sub-tile 0's weight build; wait below
+    elif ablate != "nodma":
         dma(0, 0, st[0][3], st[0][4]).start()
 
     r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
@@ -168,7 +202,18 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
     for s in range(_GROUP):
         vz, vy, vx, z0, y0, x0 = st[s]
         slot = s % 2
-        if ablate != "nodma" and s + 1 < _GROUP:
+        if group_windows is not None:
+            # clamp the sub-tile window inside the group band. The upper
+            # clamp can only LOWER z0/y0 below floor(min) — coverage of the
+            # top then follows from the group window covering the union
+            # span (prepass-guaranteed), so exactness holds either way.
+            GDZ, GYW = group_windows
+            z0 = jnp.clip(z0, z0g, z0g + max(GDZ - DZ, 0))
+            y0 = pl.multiple_of(
+                jnp.clip(y0, y0g, y0g + max(GYW - YW, 0)), 8
+            )
+            slot = 0
+        elif ablate != "nodma" and s + 1 < _GROUP:
             dma(s + 1, (s + 1) % 2, st[s + 1][3], st[s + 1][4]).start()
 
         zl = vz - z0.astype(jnp.float32)  # (1, B)
@@ -195,7 +240,11 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(cxi - xl))  # (XW, B)
 
         if ablate != "nodma":
-            dma(s, slot, z0, y0).wait()
+            if group_windows is not None:
+                if s == 0:
+                    gcp.wait()
+            else:
+                dma(s, slot, z0, y0).wait()
         if ablate == "nomm":
             for c in range(channels):
                 out_ref[0, s : s + 1, c * B : (c + 1) * B] = jnp.sum(
@@ -209,7 +258,13 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
         # C = 5-50; a per-channel matmul loop was C dispatches)
         bands = []
         for c in range(channels):
-            band2 = band[slot, c].reshape(R, Xp)
+            if group_windows is not None:
+                band2 = band[
+                    0, c, pl.ds(z0 - z0g, DZ),
+                    pl.ds(pl.multiple_of(y0 - y0g, 8), YW), :,
+                ].reshape(R, Xp)
+            else:
+                band2 = band[slot, c].reshape(R, Xp)
             if ablate == "noroll":
                 band2 = band2[:, :XW]
             elif XW < Xp:
@@ -291,8 +346,12 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _warp_pallas(img, planes, *, nearest, interpret, win):
-    """(C, Z, Y, X) x (3, D, H, W) -> (C, D, H, W); caller checked shapes."""
+def _warp_pallas(img, planes, *, nearest, interpret, win, group_win=None):
+    """(C, Z, Y, X) x (3, D, H, W) -> (C, D, H, W); caller checked shapes.
+
+    ``group_win=(GDZ, GYW)`` selects the one-DMA-per-cell variant: the band
+    scratch holds the cell's union window and each sub-tile slices its own
+    (DZ, YW) view (see _GROUP_WIN)."""
     C = img.shape[0]
     src_spatial = tuple(int(s) for s in img.shape[1:])
     out_spatial = tuple(int(s) for s in planes.shape[1:])
@@ -314,12 +373,24 @@ def _warp_pallas(img, planes, *, nearest, interpret, win):
     DZ = min(win[0], Z)
     YW = min(win[1], pad_spatial[1])
     XW = min(win[2], pad_spatial[2])
+    group_windows = None
+    if group_win is not None:
+        group_windows = (
+            max(min(group_win[0], Z), DZ),
+            max(min(group_win[1], pad_spatial[1]), YW),
+        )
     num_tiles = (
         (out_spatial[0] // BZ) * (out_spatial[1] // BY) * (out_spatial[2] // BX)
     )
     planes_t = _tile_planes(planes.astype(jnp.float32), tile)
     bf16_mm = os.environ.get("KM_WARP_BF16") == "1"
     band_dtype = jnp.bfloat16 if bf16_mm else jnp.float32
+    if group_windows is not None:
+        band_shape = (1, C, group_windows[0], group_windows[1], pad_spatial[2])
+        n_sem = 1
+    else:
+        band_shape = (2, C, DZ, YW, pad_spatial[2])
+        n_sem = 2
 
     out_tiled = pl.pallas_call(
         functools.partial(
@@ -330,6 +401,7 @@ def _warp_pallas(img, planes, *, nearest, interpret, win):
             channels=C,
             nearest=nearest,
             bf16_mm=bf16_mm,
+            group_windows=group_windows,
         ),
         grid=(num_tiles // _GROUP,),
         in_specs=[
@@ -345,8 +417,8 @@ def _warp_pallas(img, planes, *, nearest, interpret, win):
             (num_tiles // _GROUP, _GROUP, C * B), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, C, DZ, YW, pad_spatial[2]), band_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(band_shape, band_dtype),
+            pltpu.SemaphoreType.DMA((n_sem,)),
         ],
         interpret=interpret,
     )(planes_t, img.astype(band_dtype))
@@ -377,6 +449,29 @@ def _tile_spans(planes, src_spatial, *, nearest):
     lo = lo.at[1].set(jnp.floor(lo[1] / 8.0) * 8.0)
     span = jnp.ceil(vmax) - lo + 1.0
     return jnp.max(span, axis=(1, 2, 3))
+
+
+def _group_spans(planes, src_spatial, *, nearest):
+    """Exact XLA prepass for the group-DMA path: max UNION (z, y) span over
+    each kernel cell's _GROUP consecutive tiles (same flattening order as
+    :func:`_tile_planes`). Returns a (2,) fp32 vector."""
+    D, H, W = (int(s) for s in planes.shape[1:])
+    (BZ, BY, BX), _ = _tile_config()
+    p = planes.astype(jnp.float32).reshape(3, D // BZ, BZ, H // BY, BY, W // BX, BX)
+    sizes = jnp.asarray(src_spatial, jnp.float32).reshape(3, 1, 1, 1)
+    v = ((p + 1.0) * sizes[..., None, None, None] - 1.0) * 0.5
+    v = jnp.clip(v, 0.0, (sizes - 1.0)[..., None, None, None])
+    if nearest:
+        v = jnp.round(v)
+    T = (D // BZ) * (H // BY) * (W // BX)
+    vmin = jnp.min(v, axis=(2, 4, 6)).reshape(3, T // _GROUP, _GROUP)
+    vmax = jnp.max(v, axis=(2, 4, 6)).reshape(3, T // _GROUP, _GROUP)
+    gmin = jnp.min(vmin, axis=2)[:2]  # (2, T//_GROUP): z, y only
+    gmax = jnp.max(vmax, axis=2)[:2]
+    lo = jnp.floor(gmin)
+    lo = lo.at[1].set(jnp.floor(lo[1] / 8.0) * 8.0)  # y start 8-aligned
+    span = jnp.ceil(gmax) - lo + 1.0
+    return jnp.max(span, axis=1)
 
 
 def _effective_win(win, src_spatial):
@@ -440,7 +535,7 @@ def fast_warp_enabled():
 _BAND_VMEM_BUDGET = 4 * 2**20
 
 
-def _max_band_channels(src_spatial, win=None):
+def _max_band_channels(src_spatial, win=None, group_win=None):
     Z, Y, X = src_spatial
     (BZ, BY, BX), ladder = _tile_config()
     if win is None:
@@ -449,11 +544,18 @@ def _max_band_channels(src_spatial, win=None):
     Xp = _round_up(X, 128)
     R = DZ * YW
     B = BZ * BY * BX
-    # channel-scaled VMEM: double-buffered band, the rolled (R, Xp)
+    if group_win is not None:
+        # single-buffered group band + the sliced (R, Xp) sub-window view
+        gdz = max(min(group_win[0], Z), DZ)
+        gyw = max(min(group_win[1], _round_up(Y, 8)), YW)
+        band_elems = gdz * gyw * Xp + R * Xp
+    else:
+        band_elems = 2 * DZ * YW * Xp
+    # channel-scaled VMEM: the band buffer(s), the rolled (R, Xp)
     # transient, the channel-stacked matmul operands (hi/lo bf16 ~ 2 words
     # of R*XW) + its (XW, B) output slab, and the output lanes
     per_channel = (
-        2 * DZ * YW * Xp + R * Xp + 2 * R * XW + B * (2 * XW + 2 * _GROUP)
+        band_elems + R * Xp + 2 * R * XW + B * (2 * XW + 2 * _GROUP)
     ) * 4
     return max(1, _BAND_VMEM_BUDGET // per_channel)
 
@@ -494,15 +596,16 @@ def _warp_planes_fwd_impl(img, planes, mode):
             seen.add(eff)
             ladder.append(w)
 
-    def _make_fast(win):
-        # channel chunking bounds the double-buffered band scratch (many-
-        # channel one-hot segmentations would otherwise exceed scoped VMEM)
-        cb = _max_band_channels(src_spatial, win)
+    def _make_fast(win, group_win=None):
+        # channel chunking bounds the band scratch (many-channel one-hot
+        # segmentations would otherwise exceed scoped VMEM)
+        cb = _max_band_channels(src_spatial, win, group_win)
 
         def _fast(im, pe):
             chunks = [
                 _warp_pallas(im[c0 : c0 + cb], pe, nearest=nearest,
-                             interpret=interpret, win=win)
+                             interpret=interpret, win=win,
+                             group_win=group_win)
                 for c0 in range(0, C, cb)
             ]
             out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
@@ -526,6 +629,26 @@ def _warp_planes_fwd_impl(img, planes, mode):
                 return jax.lax.cond(_fit, _f, _alt, im, pe)
 
             branch = _cond
+
+        if os.environ.get("KM_NO_WARP_GROUP") != "1":
+            # outermost (preferred): one band DMA per kernel cell when the
+            # cell-union span also fits _GROUP_WIN (smooth serving flows)
+            win0 = ladder[0]
+            effw = _effective_win(win0, src_spatial)
+            effg = (
+                max(min(_GROUP_WIN[0], src_spatial[0]), effw[0]),
+                max(min(_GROUP_WIN[1], _round_up(src_spatial[1], 8)), effw[1]),
+            )
+            gspans = _group_spans(planes[b], src_spatial, nearest=nearest)
+            gfit = jnp.all(
+                spans <= jnp.asarray(effw, jnp.float32)
+            ) & jnp.all(gspans <= jnp.asarray(effg, jnp.float32))
+
+            def _gcond(im, pe, _fit=gfit,
+                       _f=_make_fast(win0, _GROUP_WIN), _alt=branch):
+                return jax.lax.cond(_fit, _f, _alt, im, pe)
+
+            branch = _gcond
         outs.append(branch(img[b], planes[b]))
     return jnp.stack(outs, axis=0)
 

@@ -224,3 +224,25 @@ def test_bf16_band_multichannel(rng, monkeypatch):
     out = resample3d.warp_planes(jnp.asarray(src), jnp.asarray(planes))
     ref = grid_sample_planes(jnp.asarray(src), jnp.asarray(planes))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1.5e-2)
+
+
+def test_group_dma_branch_parity(rng, monkeypatch):
+    """The one-DMA-per-cell group-band path (taken when a kernel cell's
+    union span fits _GROUP_WIN — smooth serving flows) must match the XLA
+    path exactly, and the kill-switch must reproduce it via the
+    per-sub-tile rungs."""
+    from keymorph_tpu.tools.warp_tile_sweep import _rot_scale_planes
+
+    src = rng.random((1, 2, 32, 32, 32), dtype=np.float32)
+    planes = jnp.asarray(_rot_scale_planes(32, 2, 1.02))
+    spans = resample3d._tile_spans(planes[0], (32, 32, 32), nearest=False)
+    gspans = resample3d._group_spans(planes[0], (32, 32, 32), nearest=False)
+    # the flow must actually select the group branch
+    assert bool(jnp.all(spans <= jnp.asarray((8.0, 24.0, 64.0))))
+    assert bool(jnp.all(gspans <= jnp.asarray((32.0, 32.0))))
+    ref = grid_sample_planes(jnp.asarray(src), planes)
+    out = resample3d.warp_planes(jnp.asarray(src), planes)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    monkeypatch.setenv("KM_NO_WARP_GROUP", "1")
+    out2 = resample3d.warp_planes(jnp.asarray(src), planes)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5)
