@@ -102,6 +102,7 @@ def main():
                          "retrying proven fallback config\n")
         os.environ["KM_NO_CONV_STATS"] = "1"
         os.environ["KM_NO_CONV_SLIDE"] = "1"
+        os.environ["KM_NO_WARP_GROUP"] = "1"
         os.environ["KM_WARP_TILES"] = "4,8,32,16,40,64"
         register = build_register(net, num_chunks=8, planes=False)
         register(params, img_f, img_m).block_until_ready()

@@ -100,7 +100,7 @@ def _tile_config():
 _GROUP = 8  # sub-tiles per kernel cell (fills the output block's sublane dim)
 
 
-def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
+def _kernel(*refs, src_spatial,
             pad_spatial, windows, channels, nearest, bf16_mm=False,
             group_windows=None):
     """One cell = _GROUP output tiles: band DMAs + one-hot-matmul trilerp.
@@ -123,6 +123,14 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
     #   nodma  - skip the band DMAs          nooh  - constant trilerp weights
     #   noroll - skip the x-window roll      nomm  - skip roll+matmul
     #   fatoh  - full (R, B) hat build (correct; the pre-round-3 default)
+    if group_windows is not None:
+        # group mode carries the per-cell union starts as a scalar-prefetch
+        # operand so cell t can DMA cell t+1's band (cross-cell double
+        # buffering — the starts depend on the NEXT cell's planes block,
+        # which is not resident; the XLA prepass computes them all once)
+        starts_ref, planes_ref, src_ref, out_ref, band, sem = refs
+    else:
+        planes_ref, src_ref, out_ref, band, sem = refs
     ablate = os.environ.get("KM_WARP_ABLATE", "")
     Z, Y, X = src_spatial  # true dims: coordinate math and border clamping
     _, Yp, Xp = pad_spatial  # HBM memref dims (lane/sublane aligned)
@@ -172,25 +180,38 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
     st = [starts(s) for s in range(_GROUP)]
 
     if group_windows is not None:
-        # ONE band DMA for the whole cell: union starts over all 8 sub-tiles
-        # (the prepass guaranteed the union span fits (GDZ, GYW)); each
-        # sub-tile below slices its own (DZ, YW) window out of the group
-        # band in VMEM. Kills the per-sub-tile DMA issue/latency wall.
+        # ONE band DMA for the whole cell: the prefetched union starts cover
+        # all 8 sub-tiles (the prepass guaranteed the union span fits
+        # (GDZ, GYW)); each sub-tile below slices its own (DZ, YW) window
+        # out of the group band in VMEM. Kills the per-sub-tile DMA
+        # issue/latency wall, and cell t+1's band streams in while t
+        # computes (double-buffered on the cell axis).
         GDZ, GYW = group_windows
-        z0g = st[0][3]
-        y0g = st[0][4]
-        for s in range(1, _GROUP):
-            z0g = jnp.minimum(z0g, st[s][3])
-            y0g = jnp.minimum(y0g, st[s][4])
-        z0g = jnp.clip(z0g, 0, max(Z - GDZ, 0))
-        y0g = pl.multiple_of(jnp.clip(y0g, 0, max(Yp - GYW, 0)), 8)
-        gcp = pltpu.make_async_copy(
-            src_ref.at[:, pl.ds(z0g, GDZ), pl.ds(y0g, GYW), :],
-            band.at[0],
-            sem.at[0],
-        )
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        def gdma(cell, gs):
+            zc = starts_ref[cell, 0]
+            yc = pl.multiple_of(starts_ref[cell, 1], 8)
+            return pltpu.make_async_copy(
+                src_ref.at[:, pl.ds(zc, GDZ), pl.ds(yc, GYW), :],
+                band.at[gs],
+                sem.at[gs],
+            )
+
         if ablate != "nodma":
-            gcp.start()  # overlaps sub-tile 0's weight build; wait below
+            @pl.when(t == 0)
+            def _():
+                gdma(0, 0).start()
+
+            @pl.when(t + 1 < n_t)
+            def _():
+                gdma(t + 1, (t + 1) % 2).start()
+
+            gdma(t, t % 2).wait()
+        z0g = starts_ref[t, 0]
+        y0g = pl.multiple_of(starts_ref[t, 1], 8)
+        gslot = t % 2
     elif ablate != "nodma":
         dma(0, 0, st[0][3], st[0][4]).start()
 
@@ -212,7 +233,7 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
             y0 = pl.multiple_of(
                 jnp.clip(y0, y0g, y0g + max(GYW - YW, 0)), 8
             )
-            slot = 0
+            slot = gslot
         elif ablate != "nodma" and s + 1 < _GROUP:
             dma(s + 1, (s + 1) % 2, st[s + 1][3], st[s + 1][4]).start()
 
@@ -239,12 +260,8 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
             oh = jnp.repeat(hz, YW, axis=0) * jnp.tile(hy, (DZ, 1))  # (R, B)
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(cxi - xl))  # (XW, B)
 
-        if ablate != "nodma":
-            if group_windows is not None:
-                if s == 0:
-                    gcp.wait()
-            else:
-                dma(s, slot, z0, y0).wait()
+        if group_windows is None and ablate != "nodma":
+            dma(s, slot, z0, y0).wait()
         if ablate == "nomm":
             for c in range(channels):
                 out_ref[0, s : s + 1, c * B : (c + 1) * B] = jnp.sum(
@@ -260,7 +277,7 @@ def _kernel(planes_ref, src_ref, out_ref, band, sem, *, src_spatial,
         for c in range(channels):
             if group_windows is not None:
                 band2 = band[
-                    0, c, pl.ds(z0 - z0g, DZ),
+                    slot, c, pl.ds(z0 - z0g, DZ),
                     pl.ds(pl.multiple_of(y0 - y0g, 8), YW), :,
                 ].reshape(R, Xp)
             else:
@@ -386,42 +403,75 @@ def _warp_pallas(img, planes, *, nearest, interpret, win, group_win=None):
     bf16_mm = os.environ.get("KM_WARP_BF16") == "1"
     band_dtype = jnp.bfloat16 if bf16_mm else jnp.float32
     if group_windows is not None:
-        band_shape = (1, C, group_windows[0], group_windows[1], pad_spatial[2])
-        n_sem = 1
+        band_shape = (2, C, group_windows[0], group_windows[1], pad_spatial[2])
     else:
         band_shape = (2, C, DZ, YW, pad_spatial[2])
-        n_sem = 2
 
-    out_tiled = pl.pallas_call(
-        functools.partial(
-            _kernel,
-            src_spatial=src_spatial,
-            pad_spatial=pad_spatial,
-            windows=(DZ, YW, XW),
-            channels=C,
-            nearest=nearest,
-            bf16_mm=bf16_mm,
-            group_windows=group_windows,
-        ),
-        grid=(num_tiles // _GROUP,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 3 * _GROUP, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+    kernel_fn = functools.partial(
+        _kernel,
+        src_spatial=src_spatial,
+        pad_spatial=pad_spatial,
+        windows=(DZ, YW, XW),
+        channels=C,
+        nearest=nearest,
+        bf16_mm=bf16_mm,
+        group_windows=group_windows,
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (num_tiles // _GROUP, _GROUP, C * B), jnp.float32
+    )
+    scratch_shapes = [
+        pltpu.VMEM(band_shape, band_dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    src_spec = pl.BlockSpec(memory_space=pltpu.HBM)  # src in HBM; banded DMA
+
+    if group_windows is not None:
+        starts = _group_starts(
+            planes, src_spatial, pad_spatial, group_windows, nearest=nearest
+        )
+        out_tiled = pl.pallas_call(
+            kernel_fn,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(num_tiles // _GROUP,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 3 * _GROUP, B),
+                        lambda t, sref: (t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    src_spec,
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, _GROUP, C * B),
+                    lambda t, sref: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=scratch_shapes,
             ),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # src stays in HBM; banded DMA
-        ],
-        out_specs=pl.BlockSpec(
-            (1, _GROUP, C * B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (num_tiles // _GROUP, _GROUP, C * B), jnp.float32
-        ),
-        scratch_shapes=[
-            pltpu.VMEM(band_shape, band_dtype),
-            pltpu.SemaphoreType.DMA((n_sem,)),
-        ],
-        interpret=interpret,
-    )(planes_t, img.astype(band_dtype))
+            out_shape=out_shape,
+            interpret=interpret,
+        )(starts, planes_t, img.astype(band_dtype))
+    else:
+        out_tiled = pl.pallas_call(
+            kernel_fn,
+            grid=(num_tiles // _GROUP,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 3 * _GROUP, B), lambda t: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                src_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, _GROUP, C * B), lambda t: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(planes_t, img.astype(band_dtype))
     return _untile_output(out_tiled, out_spatial, tile, C)
 
 
@@ -472,6 +522,35 @@ def _group_spans(planes, src_spatial, *, nearest):
     lo = lo.at[1].set(jnp.floor(lo[1] / 8.0) * 8.0)  # y start 8-aligned
     span = jnp.ceil(gmax) - lo + 1.0
     return jnp.max(span, axis=1)
+
+
+def _group_starts(planes, src_spatial, pad_spatial, group_windows, *, nearest):
+    """Per-cell (z0g, y0g) union band starts for the group-DMA path,
+    (T//_GROUP, 2) int32 — the scalar-prefetch operand. Must mirror the
+    kernel's per-sub-tile start computation exactly: clip semantics match
+    because clip/min commute and the group upper bounds are tighter."""
+    D, H, W = (int(s) for s in planes.shape[1:])
+    (BZ, BY, BX), _ = _tile_config()
+    Z = src_spatial[0]
+    Yp = pad_spatial[1]
+    GDZ, GYW = group_windows
+    p = planes.astype(jnp.float32).reshape(3, D // BZ, BZ, H // BY, BY, W // BX, BX)
+    sizes = jnp.asarray(src_spatial, jnp.float32).reshape(3, 1, 1, 1)
+    v = ((p + 1.0) * sizes[..., None, None, None] - 1.0) * 0.5
+    v = jnp.clip(v, 0.0, (sizes - 1.0)[..., None, None, None])
+    if nearest:
+        v = jnp.round(v)
+    T = (D // BZ) * (H // BY) * (W // BX)
+    gmin = jnp.min(
+        jnp.min(v, axis=(2, 4, 6)).reshape(3, T // _GROUP, _GROUP), axis=2
+    )
+    z0 = jnp.clip(
+        jnp.floor(gmin[0]).astype(jnp.int32), 0, max(Z - GDZ, 0)
+    )
+    y0 = jnp.clip(
+        (jnp.floor(gmin[1]).astype(jnp.int32) // 8) * 8, 0, max(Yp - GYW, 0)
+    )
+    return jnp.stack([z0, y0], axis=1)
 
 
 def _effective_win(win, src_spatial):
@@ -545,10 +624,10 @@ def _max_band_channels(src_spatial, win=None, group_win=None):
     R = DZ * YW
     B = BZ * BY * BX
     if group_win is not None:
-        # single-buffered group band + the sliced (R, Xp) sub-window view
+        # cell-axis double-buffered group band + the sliced (R, Xp) view
         gdz = max(min(group_win[0], Z), DZ)
         gyw = max(min(group_win[1], _round_up(Y, 8)), YW)
-        band_elems = gdz * gyw * Xp + R * Xp
+        band_elems = 2 * gdz * gyw * Xp + R * Xp
     else:
         band_elems = 2 * DZ * YW * Xp
     # channel-scaled VMEM: the band buffer(s), the rolled (R, Xp)
@@ -630,7 +709,12 @@ def _warp_planes_fwd_impl(img, planes, mode):
 
             branch = _cond
 
-        if os.environ.get("KM_NO_WARP_GROUP") != "1":
+        if (
+            os.environ.get("KM_NO_WARP_GROUP") != "1"
+            and not os.environ.get("KM_WARP_TILES")  # forced sweep config:
+            # the sweep's invariant is "the forced per-sub-tile kernel is
+            # what runs" — don't mask it with the group branch
+        ):
             # outermost (preferred): one band DMA per kernel cell when the
             # cell-union span also fits _GROUP_WIN (smooth serving flows)
             win0 = ladder[0]

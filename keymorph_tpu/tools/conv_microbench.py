@@ -88,8 +88,6 @@ def main(argv=None):
                         "fuse it into the conv (forces an f32 output layout — "
                         "the d1c1 33.7 TF suspect); 'split' puts an "
                         "optimization_barrier between conv and stats")
-    p.add_argument("--pallas", action="store_true",
-                   help="also time the Pallas conv kernel where eligible")
     args = p.parse_args(argv)
 
     import jax
