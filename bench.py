@@ -19,9 +19,25 @@ Env knobs: BENCH_SIZE (default 256), BENCH_KEYPOINTS (128), BENCH_ITERS (8).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
+
+
+KILL_SWITCH_ENVS = (
+    "KM_NO_CONV_STATS",
+    "KM_NO_CONV_SLIDE",
+    "KM_NO_WARP_GROUP",
+    "KM_NO_FAST_CONV",
+    "KM_WARP_TILES",
+    "KM_CONV_TILES",
+    "KM_WARP_BF16",
+)
+
+
+def active_kill_switches():
+    return {k: os.environ[k] for k in KILL_SWITCH_ENVS if os.environ.get(k)}
 
 
 def build_register(net, num_chunks: int, planes: bool = True):
@@ -50,6 +66,78 @@ def build_register(net, num_chunks: int, planes: bool = True):
         return align_img(out["grid"], img_m)
 
     return register
+
+
+def build_stages(net, num_chunks: int, planes: bool = True):
+    """The registration split into its three device stages — separately
+    jitted so the bench can attribute the headline number (extract / solve+
+    flow / warp) without guessing from XLA fusion names."""
+    import jax
+    import jax.numpy as jnp
+
+    from keymorph_tpu.models.keymorph import KeyMorphNet, align_pair
+    from keymorph_tpu.ops.resample import align_img, align_planes
+
+    @jax.jit
+    def extract(params, img):
+        return net.apply(params, img, method=KeyMorphNet.get_keypoints)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def solve_flow(points_f, points_m, grid_shape):
+        out = align_pair(
+            points_f,
+            points_m,
+            "tps",
+            grid_shape,
+            lmbda=jnp.full((points_f.shape[0],), 1.0),
+            num_chunks=num_chunks,
+            compute_grid="planes" if planes else True,
+        )
+        return out["planes" if planes else "grid"]
+
+    @jax.jit
+    def warp(flow_out, img_m):
+        return align_planes(flow_out, img_m) if planes else align_img(flow_out, img_m)
+
+    return extract, solve_flow, warp
+
+
+def build_register_with_degrade(net, params, img_f, img_m, num_chunks: int = 8):
+    """Compile the full-config register fn; on failure, self-degrade to the
+    previously-proven configuration and report that it did.
+
+    Self-degrade rationale: the newest kernel forms can fail this backend's
+    server-side Mosaic build (which can't be validated offline) — fall back
+    to the proven config — big-window warp ladder rung, XLA GroupNorm stats,
+    grid-path TPS — and measure that instead of reporting nothing. The
+    returned ``degraded`` flag (and the kill-switch envs this sets, see
+    :func:`active_kill_switches`) go into the bench JSON so a fallback
+    number is never mistaken for full-kernel perf.
+
+    Returns (register_fn, degraded, planes).
+    """
+    try:
+        register = build_register(net, num_chunks=num_chunks)
+        jax_block(register(params, img_f, img_m))
+        return register, False, True
+    except Exception as e:  # noqa: BLE001
+        import sys
+
+        sys.stderr.write(f"bench: full config failed ({str(e)[:200]}); "
+                         "retrying proven fallback config\n")
+        os.environ["KM_NO_CONV_STATS"] = "1"
+        os.environ["KM_NO_CONV_SLIDE"] = "1"
+        os.environ["KM_NO_WARP_GROUP"] = "1"
+        os.environ["KM_WARP_TILES"] = "4,8,32,16,40,64"
+        register = build_register(net, num_chunks=num_chunks, planes=False)
+        jax_block(register(params, img_f, img_m))
+        return register, True, False
+
+
+def jax_block(x):
+    import jax
+
+    return jax.block_until_ready(x)
 
 
 def main():
@@ -87,25 +175,9 @@ def main():
     img_m = jax.random.uniform(jax.random.PRNGKey(1), shape, jnp.float32)
     params = net.init(jax.random.PRNGKey(2), img_f, img_m)
 
-    try:
-        register = build_register(net, num_chunks=8)
-        register(params, img_f, img_m).block_until_ready()
-    except Exception as e:  # noqa: BLE001
-        # Self-degrade: if the newest kernel forms fail this backend's
-        # Mosaic build (server-side compiles can't be validated offline),
-        # fall back to the previously-proven configuration — big-window
-        # warp ladder rung, XLA GroupNorm stats, grid-path TPS — and
-        # measure that instead of reporting nothing.
-        import sys
-
-        sys.stderr.write(f"bench: full config failed ({str(e)[:200]}); "
-                         "retrying proven fallback config\n")
-        os.environ["KM_NO_CONV_STATS"] = "1"
-        os.environ["KM_NO_CONV_SLIDE"] = "1"
-        os.environ["KM_NO_WARP_GROUP"] = "1"
-        os.environ["KM_WARP_TILES"] = "4,8,32,16,40,64"
-        register = build_register(net, num_chunks=8, planes=False)
-        register(params, img_f, img_m).block_until_ready()
+    register, degraded, planes = build_register_with_degrade(
+        net, params, img_f, img_m
+    )
 
     # warm the chained shape path too
     out = register(params, img_f, img_m)
@@ -152,6 +224,58 @@ def main():
         dt = (time.perf_counter() - t0) / iters
     regs_per_sec = 1.0 / dt
 
+    # Per-stage device attribution (extract / solve+flow / warp as separate
+    # jitted programs) so BENCH_r* is self-attributing. Best-effort: a stage
+    # failure must not cost the headline number. BENCH_STAGES=0 skips.
+    stages = None
+    if os.environ.get("BENCH_STAGES", "1") == "1":
+        try:
+            stages = {}
+            extract, solve_flow, warp = build_stages(net, 8, planes=planes)
+            pts_f = extract(params, img_f)
+            pts_m = extract(params, img_m)
+            flow_out = solve_flow(pts_f, pts_m, tuple(shape[2:]))
+            warp(flow_out, img_m).block_until_ready()
+
+            def time_stage(name, fn, fresh_args):
+                import tempfile
+
+                from keymorph_tpu.tools.trace_summary import (
+                    find_trace_file,
+                    summarize_trace,
+                )
+
+                td = tempfile.mkdtemp(prefix=f"bench_{name}_")
+                jax.profiler.start_trace(td)
+                for a in fresh_args:
+                    jax.block_until_ready(fn(*a))
+                jax.profiler.stop_trace()
+                rows = summarize_trace(find_trace_file(td), top_n=5)
+                top = [r for r in rows if "jit" in r[0]]
+                if top:
+                    _, total_ms, count = top[0]
+                    stages[f"{name}_ms"] = round(total_ms / count, 2)
+
+            fresh = [
+                jax.random.uniform(jax.random.PRNGKey(80 + i), shape, jnp.float32)
+                for i in range(2)
+            ]
+            time_stage("extract", extract, [(params, im) for im in fresh])
+            pts = [extract(params, im) for im in fresh]
+            time_stage(
+                "solve_flow",
+                solve_flow,
+                [(pts_f, p, tuple(shape[2:])) for p in pts],
+            )
+            flows = [solve_flow(pts_f, p, tuple(shape[2:])) for p in pts]
+            time_stage("warp", warp, [(f, img_m) for f in flows])
+            stages["register_ms"] = round(dt * 1000.0, 2)
+        except Exception as e:  # noqa: BLE001
+            import sys
+
+            sys.stderr.write(f"bench: stage attribution failed ({str(e)[:200]})\n")
+            stages = None
+
     baseline = None
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     if os.path.exists(baseline_path):
@@ -172,6 +296,11 @@ def main():
                 "value": round(regs_per_sec, 4),
                 "unit": "registrations/sec",
                 "vs_baseline": round(regs_per_sec / baseline, 3) if baseline else None,
+                # provenance: did the self-degrading fallback fire, and which
+                # kill-switch envs were live for the measured number
+                "degraded": degraded,
+                "kill_switches": active_kill_switches(),
+                "stages": stages,
             }
         )
     )

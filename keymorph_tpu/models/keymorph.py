@@ -42,13 +42,13 @@ _TPS_RE = re.compile(r"^tps_(.+)$")
 def train_extract_net(net: "KeyMorphNet") -> "KeyMorphNet":
     """Extraction-path policy for the jitted train/pretrain steps.
 
-    Default keeps the flax (channel-last) extraction: the fused conv's VJP
-    backward runs the XLA formulation in kernel layout, whose backward conv
-    layouts are untuned. ``KM_TRAIN_FAST_EXTRACT=1`` opts the training
-    forward onto the fused kernel (tools/train_step_bench.py measures the
-    trade on device).
+    Default is the fused-kernel extraction: with the Pallas-backed conv
+    backward (ops/pallas/conv3d.py::_conv_bwd) it measures 405.9 vs 414.6
+    ms/step against the flax channel-last path on the canonical 128^3
+    config (tools/train_step_bench.py, round 4; before the Pallas backward
+    it LOST 444.5 vs 420.0). ``KM_TRAIN_FAST_EXTRACT=0`` opts back out.
     """
-    fast = os.environ.get("KM_TRAIN_FAST_EXTRACT") == "1"
+    fast = os.environ.get("KM_TRAIN_FAST_EXTRACT", "1") != "0"
     return net.clone(fast_extract=fast)
 
 

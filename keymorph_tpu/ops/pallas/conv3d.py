@@ -64,13 +64,38 @@ def _slide_stack(Cg, ZB):
     return Cg % 16 == 0 and ZB >= 2
 
 
+def _vmem_bytes(ZB, YB, Cg, cin, cout, X, slide):
+    """Scoped-VMEM estimate of one kernel call (band + S + acc + out)."""
+    WL = (YB + 16) * X
+    N = YB * X
+    s_rows = (3 * (ZB + 2) if slide else 9) * max(Cg, 8)
+    return (
+        2 * (ZB + 2) * Cg * WL * 2  # double-buffered input band (bf16)
+        + s_rows * N * 2  # S stack (bf16; sublane-padded)
+        + ZB * cout * N * 4  # fp32 accumulator
+        + 2 * ZB * cout * N * 2  # pipelined output blocks (bf16)
+        + 9 * cin * cout * 3 * 2  # weights
+    )
+
+
+_VMEM_BUDGET = 13 * 2**20
+
+
 def _pick_tiles(cin, cout, Y, X):
-    """(ZB, YB, Cg): z rows per cell, y rows per cell, Cin chunk — sized
-    against the ~16 MiB scoped-VMEM budget (band + S + acc + out block)."""
+    """(ZB, YB, Cg, slide): z rows per cell, y rows per cell, Cin chunk,
+    sliding-tap-stack flag — sized against the ~16 MiB scoped-VMEM budget
+    (band + S + acc + out block)."""
     forced = os.environ.get("KM_CONV_TILES")
     if forced:
         ZB, YB, Cg = (int(v) for v in forced.split(","))
-        return ZB, YB, min(Cg, cin)
+        Cg = min(Cg, cin)
+        slide = _slide_stack(Cg, ZB)
+        # the slide stack's scratch is up to 2x the per-lz stack; a forced
+        # config that fit without it must not silently exceed scoped VMEM —
+        # drop the slide stack first, keep the forced tiles either way
+        if slide and _vmem_bytes(ZB, YB, Cg, cin, cout, X, True) > _VMEM_BUDGET:
+            slide = False
+        return ZB, YB, Cg, slide
     # lane row of one y-window: (YB+16)*X elems
     # try generous tiles first, shrink until the budget holds
     for ZB, YB, Cg in (
@@ -84,22 +109,9 @@ def _pick_tiles(cin, cout, Y, X):
         Cg = min(Cg, cin)
         if cin % Cg != 0 or Y % YB != 0:
             continue
-        WL = (YB + 16) * X
-        N = YB * X
-        s_rows = (
-            3 * (ZB + 2) * max(Cg, 8)
-            if _slide_stack(min(Cg, cin), ZB)
-            else 9 * max(Cg, 8)
-        )
-        vmem = (
-            2 * (ZB + 2) * Cg * WL * 2  # double-buffered input band (bf16)
-            + s_rows * N * 2  # S stack (bf16; sublane-padded)
-            + ZB * cout * N * 4  # fp32 accumulator
-            + 2 * ZB * cout * N * 2  # pipelined output blocks (bf16)
-            + 9 * cin * cout * 3 * 2  # weights
-        )
-        if vmem <= 13 * 2**20:
-            return ZB, YB, Cg
+        slide = _slide_stack(Cg, ZB)
+        if _vmem_bytes(ZB, YB, Cg, cin, cout, X, slide) <= _VMEM_BUDGET:
+            return ZB, YB, Cg, slide
     return None
 
 
@@ -109,7 +121,7 @@ def _shapes_eligible(shape):
 
 
 def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
-            n_cells_y, relu, out_dtype, Z=None, emit_stats=False):
+            n_cells_y, relu, out_dtype, Z=None, emit_stats=False, slide=True):
     """Grid: (n_cells_z * n_cells_y,) linearized. One Cin group per call —
     larger channel counts are split into independent single-group calls and
     summed by the host wrapper (keeps the kernel free of revisited-output
@@ -166,7 +178,6 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
         s1 = jnp.zeros((Cout, 1), jnp.float32)
         s2 = jnp.zeros((Cout, 1), jnp.float32)
 
-    slide = _slide_stack(Cg, ZB)
     if slide:
         # sliding stack: each (z-plane, dy) block copied once per cell;
         # every lz reads a contiguous K window (see _slide_stack)
@@ -292,7 +303,7 @@ def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
     full-volume XLA reduce the next conv's GroupNorm would otherwise pay."""
     Z, Cin, Y, X = (int(s) for s in x.shape)
     Cout = int(w.shape[-1])
-    ZB, YB, _ = tiles
+    ZB, YB, _, slide = tiles
     # pad Z to a ZB multiple (zeros; extra rows discarded)
     Zp = _round_up(Z, ZB)
 
@@ -341,7 +352,7 @@ def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
             _kernel,
             ZB=ZB, YB=YB, Cg=Cin, X=X, Cout=Cout,
             n_cells_y=n_cells_y, relu=relu, out_dtype=out_dtype,
-            Z=Z, emit_stats=emit_stats,
+            Z=Z, emit_stats=emit_stats, slide=slide,
         ),
         grid=grid,
         in_specs=[
@@ -357,10 +368,7 @@ def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
         scratch_shapes=[
             pltpu.VMEM((2, ZB + 2, Cin, WL), jnp.bfloat16),
             pltpu.VMEM(
-                (
-                    (3 * (ZB + 2) if _slide_stack(Cin, ZB) else 9) * Cin,
-                    N,
-                ),
+                ((3 * (ZB + 2) if slide else 9) * Cin, N),
                 jnp.bfloat16,
             ),
             pltpu.SemaphoreType.DMA((2,)),
@@ -408,7 +416,7 @@ def _conv_pallas(x, w, scale, shift, bias, relu, interpret, emit_stats=False):
         Cin = 8
     tiles = _pick_tiles(Cin, Cout, Y, X)
     assert tiles is not None
-    ZB, YB, Cg = tiles
+    ZB, YB, Cg, slide = tiles
 
     def grp(c0, c1, with_consts, relu_g, out_dtype):
         return _conv_pallas_group(
@@ -419,13 +427,13 @@ def _conv_pallas(x, w, scale, shift, bias, relu, interpret, emit_stats=False):
             bias if with_consts else None,
             relu_g,
             interpret,
-            (ZB, YB, Cg),
+            (ZB, YB, Cg, slide),
             out_dtype=out_dtype,
         )
 
     if Cg == Cin:
         return _conv_pallas_group(
-            x, w, scale, shift, bias, relu, interpret, (ZB, YB, Cg),
+            x, w, scale, shift, bias, relu, interpret, tiles,
             out_dtype=jnp.bfloat16, emit_stats=emit_stats,
         )
     # fp32 group outputs keep the cross-group sum at full precision; the

@@ -64,7 +64,7 @@ def make_sharded_train_step(net: KeyMorphNet, config: Config, mesh: Mesh, tx=Non
             check_vma=False,  # pallas_call emits un-annotated out avals
         )(grid, img)
 
-    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
+    net = train_extract_net(net)  # fused-kernel extraction unless KM_TRAIN_FAST_EXTRACT=0
     tx = tx or make_optimizer(config)
     align_type, lmbda_spec = parse_transform_type(config.transform_type)
     use_dice = config.loss_fn == "dice"

@@ -39,7 +39,7 @@ def make_pretrain_step(net: KeyMorphNet, config: Config, tx=None):
     In rw mode ``ref_points`` are real-world coordinates and ``aff`` is the
     subject's (d+1, d+1) voxel->world affine (batched (B, d+1, d+1)).
     """
-    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
+    net = train_extract_net(net)  # fused-kernel extraction unless KM_TRAIN_FAST_EXTRACT=0
     tx = tx or make_optimizer(config)
     max_params = (0.2, 0.2, 3.1416, 0.1)  # pretrain.py:52 defaults
     rw = bool(getattr(config, "align_keypoints_in_real_world_coords", False))

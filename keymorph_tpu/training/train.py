@@ -66,7 +66,7 @@ def make_train_step(net: KeyMorphNet, config: Config, tx=None):
     train.py:99-100 ``aff_m = aff_m @ aug_affine``) and the solver fits in
     scanner space (train.py:129-137 passing aff_f/aff_m into the model).
     """
-    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
+    net = train_extract_net(net)  # fused-kernel extraction unless KM_TRAIN_FAST_EXTRACT=0
     tx = tx or make_optimizer(config)
     align_type, lmbda_spec = parse_transform_type(config.transform_type)
     use_dice = config.loss_fn == "dice"
@@ -168,7 +168,7 @@ def make_kpconsistency_step(net: KeyMorphNet, config: Config, tx=None):
     kpconsistency_coeff at run.py:96-101); here it's a working jitted step:
         loss = coeff * MSE(points(sub1_aug), points(sub2_aug)).
     """
-    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
+    net = train_extract_net(net)  # fused-kernel extraction unless KM_TRAIN_FAST_EXTRACT=0
     tx = tx or make_optimizer(config)
     coeff = config.kpconsistency_coeff
 
@@ -205,7 +205,7 @@ def make_train_step_sameres(net: KeyMorphNet, config: Config, tx=None):
     The step signature matches make_train_step; img/seg arrive at their
     original (static per-dataset) resolution.
     """
-    net = train_extract_net(net)  # flax extraction unless KM_TRAIN_FAST_EXTRACT=1
+    net = train_extract_net(net)  # fused-kernel extraction unless KM_TRAIN_FAST_EXTRACT=0
     tx = tx or make_optimizer(config)
     align_type, lmbda_spec = parse_transform_type(config.transform_type)
     use_dice = config.loss_fn == "dice"

@@ -124,15 +124,18 @@ def test_fast_extract_ineligible_volume_routes_channel_last(rng):
     assert np.all(np.isfinite(np.asarray(pts)))
 
 
-def test_train_extract_net_env_opt_in(monkeypatch):
-    """Training factories keep the flax path by default;
-    KM_TRAIN_FAST_EXTRACT=1 opts the train-step forward onto the kernel."""
+def test_train_extract_net_env_opt_out(monkeypatch):
+    """Training factories default to the fused-kernel extraction (it wins
+    on device with the Pallas conv backward, tools/train_step_bench.py);
+    KM_TRAIN_FAST_EXTRACT=0 opts the train-step forward back to flax."""
     from keymorph_tpu.models.keymorph import train_extract_net
 
     net = KeyMorphNet(
         backbone=_mk_backbone(), num_keypoints=8, compute_dtype=jnp.bfloat16
     )
     monkeypatch.delenv("KM_TRAIN_FAST_EXTRACT", raising=False)
+    assert train_extract_net(net).fast_extract is True
+    monkeypatch.setenv("KM_TRAIN_FAST_EXTRACT", "0")
     assert train_extract_net(net).fast_extract is False
     monkeypatch.setenv("KM_TRAIN_FAST_EXTRACT", "1")
     assert train_extract_net(net).fast_extract is True
