@@ -32,9 +32,16 @@ Semantics match ``ops.resample.grid_sample`` (torch ``grid_sample`` with
 padding_mode="border", align_corners=False) for mode in {bilinear, nearest};
 parity is tested against the torch-bit-parity XLA path.
 
-Autodiff: ``warp_planes`` carries a custom VJP whose backward pass is the
-XLA path's VJP (training gradients are unchanged; the kernel is the
-forward/inference fast path).
+Autodiff: ``warp_planes`` carries a custom VJP. The planes (flow) gradient —
+the only branch a training step keeps (images/segs are data, their cotangent
+path never reaches the params and is pruned) — runs a gather-free Pallas
+kernel of the same band-DMA shape as the forward: the trilinear corner
+DIFFERENCES are two extra rhs parts through the same band matmul
+(``oh``, ``dohz``, ``dohy``, contracted sequentially to bound scoped VMEM),
+so grad-wrt-flow costs ~3x the forward
+matmul instead of eight 116M-elem/s XLA gathers (measured 145 ms of a 406 ms
+training step at 128^3 before this kernel). The image gradient (and every
+ineligible/wild-flow case) keeps the XLA path's VJP.
 """
 
 from __future__ import annotations
@@ -363,6 +370,183 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _tile_output(x, tile):
+    """(C, D, H, W) -> (T//_GROUP, _GROUP, C*B): inverse of _untile_output.
+    Used to tile the output-cotangent g for the backward kernel."""
+    BZ, BY, BX = tile
+    C, D, H, W = (int(s) for s in x.shape)
+    o = x.reshape(C, D // BZ, BZ, H // BY, BY, W // BX, BX)
+    o = jnp.transpose(o, (1, 3, 5, 0, 2, 4, 6))  # (tz, ty, tx, C, BZ, BY, BX)
+    return o.reshape(-1, _GROUP, C * BZ * BY * BX)
+
+
+def _untile_planes(pt, out_spatial, tile):
+    """(T//_GROUP, 3*_GROUP, B) -> (3, D, H, W): inverse of _tile_planes.
+    Used to untile the planes-cotangent the backward kernel emits."""
+    BZ, BY, BX = tile
+    D, H, W = out_spatial
+    p = pt.reshape(D // BZ, H // BY, W // BX, 3, BZ, BY, BX)
+    p = jnp.transpose(p, (3, 0, 4, 1, 5, 2, 6))
+    return p.reshape(3, D, H, W)
+
+
+def _grad_kernel(planes_ref, g_ref, src_ref, out_ref, band, sem, *,
+                 src_spatial, pad_spatial, windows, channels, bf16_mm=False):
+    """Backward (grad-wrt-planes) cell: same band DMAs as the forward, the
+    trilinear corner DIFFERENCES stacked into the one matmul.
+
+    The XLA formulation's exact planes-gradient (ops/planes.py:94-106, with
+    floor's zero gradient) is, per axis a:
+        d out[c]/d v_a = sum over the other axes' corner weights of
+                         (img[corner_a = lo_a+1, clipped] - img[corner_a = lo_a])
+    i.e. the forward's hat vector on axis a replaced by a +-1 corner-
+    difference vector dh_a[k] = 1{k == min(lo_a+1, S_a-1-start)} - 1{k == lo_a}
+    (the clip collapses the two corners at the true top edge -> exact zero,
+    matching XLA). The contraction reuses the forward's band matmul, run
+    once per rhs part (oh, dohz, dohy); the x-axis difference is the forward
+    matmul output contracted against dhx instead of hx. The chain through
+    clip+unnormalize (scale S_a/2, border mask with 0.5 at exact-tie clamps)
+    is applied by the caller in XLA — it is elementwise on the planes.
+
+    planes_ref: (1, 3*_GROUP, B) as the forward.
+    g_ref:      (1, _GROUP, C*B) fp32 — output cotangent, forward-out tiling.
+    out_ref:    (1, 3*_GROUP, B) fp32 — grad wrt the CLAMPED VOXEL coords v,
+                rows 3s..3s+2 = (z, y, x) of sub-tile s (planes tiling).
+    """
+    Z, Y, X = src_spatial
+    _, Yp, Xp = pad_spatial
+    DZ, YW, XW = windows
+    R = DZ * YW
+    B = planes_ref.shape[2]
+
+    p = planes_ref[0].astype(jnp.float32)
+    axis = jax.lax.broadcasted_iota(jnp.int32, (3 * _GROUP, 1), 0) % 3
+    sizes = jnp.where(
+        axis == 0, jnp.float32(Z), jnp.where(axis == 1, jnp.float32(Y), jnp.float32(X))
+    )
+    v = jnp.clip(((p + 1.0) * sizes - 1.0) * 0.5, 0.0, sizes - 1.0)
+
+    def starts(s):
+        vz = v[3 * s : 3 * s + 1]
+        vy = v[3 * s + 1 : 3 * s + 2]
+        vx = v[3 * s + 2 : 3 * s + 3]
+        z0 = jnp.clip(jnp.floor(jnp.min(vz)).astype(jnp.int32), 0, max(Z - DZ, 0))
+        y0 = jnp.clip(
+            (jnp.floor(jnp.min(vy)).astype(jnp.int32) // 8) * 8,
+            0,
+            max(Yp - YW, 0),
+        )
+        y0 = pl.multiple_of(y0, 8)
+        x0 = jnp.clip(jnp.floor(jnp.min(vx)).astype(jnp.int32), 0, max(Xp - XW, 0))
+        return vz, vy, vx, z0, y0, x0
+
+    def dma(s, slot, z0, y0):
+        return pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(z0, DZ), pl.ds(y0, YW), :],
+            band.at[slot],
+            sem.at[slot],
+        )
+
+    st = [starts(s) for s in range(_GROUP)]
+    dma(0, 0, st[0][3], st[0][4]).start()
+
+    zi = jax.lax.broadcasted_iota(jnp.int32, (DZ, 1), 0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (YW, 1), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (XW, 1), 0)
+    zif = zi.astype(jnp.float32)
+    yif = yi.astype(jnp.float32)
+    xif = xi.astype(jnp.float32)
+
+    for s in range(_GROUP):
+        vz, vy, vx, z0, y0, x0 = st[s]
+        slot = s % 2
+        if s + 1 < _GROUP:
+            dma(s + 1, (s + 1) % 2, st[s + 1][3], st[s + 1][4]).start()
+
+        zl = vz - z0.astype(jnp.float32)  # (1, B)
+        yl = vy - y0.astype(jnp.float32)
+        xl = vx - x0.astype(jnp.float32)
+        hz = jnp.maximum(0.0, 1.0 - jnp.abs(zif - zl))  # (DZ, B)
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(yif - yl))  # (YW, B)
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(xif - xl))  # (XW, B)
+
+        # corner-difference vectors: +1 at the (top-clipped) upper corner,
+        # -1 at the lower; they collapse to zero at the true top edge
+        def dh(iaxis, local, top):
+            lo = jnp.floor(local).astype(jnp.int32)  # (1, B)
+            c1 = jnp.minimum(lo + 1, top)
+            return (
+                (iaxis == c1).astype(jnp.float32)
+                - (iaxis == lo).astype(jnp.float32)
+            )
+
+        dhz = dh(zi, zl, Z - 1 - z0)  # (DZ, B)
+        dhy = dh(yi, yl, Y - 1 - y0)  # (YW, B)
+        dhx = dh(xi, xl, X - 1 - x0)  # (XW, B)
+
+        dma(s, slot, z0, y0).wait()
+        bands = []
+        for c in range(channels):
+            band2 = band[slot, c].reshape(R, Xp)
+            if XW < Xp:
+                if band2.dtype != jnp.float32:
+                    band2 = pltpu.roll(
+                        band2.astype(jnp.float32), -x0, 1
+                    )[:, :XW].astype(band2.dtype)
+                else:
+                    band2 = pltpu.roll(band2, -x0, 1)[:, :XW]
+            bands.append(band2)
+        bandC = bands[0] if channels == 1 else jnp.concatenate(bands, axis=1)
+        CXW = channels * XW
+
+        def _mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # One matmul per rhs part, SEQUENTIALLY — a single concatenated
+        # (R, 3B) rhs plus its hi/lo bf16 stacks keeps ~3x8 MB of transients
+        # live at once and blows the 16 MiB scoped-VMEM limit (measured
+        # 18.04M at 64^3/C=1 on device); per-part transients are B-wide and
+        # die before the next part is built.
+        if bf16_mm:
+            lhs = bandC  # (R, C*XW) bf16
+        else:
+            bf = bandC.astype(jnp.float32)
+            bh = bf.astype(jnp.bfloat16)
+            bl = (bf - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            lhs = jnp.concatenate([bh, bl], axis=1)  # (R, 2*C*XW)
+
+        def contract(rpart):
+            """(R, B) fp32 rhs part -> (C*XW, B) fp32 exact product."""
+            if bf16_mm:
+                return _mm(lhs, rpart.astype(jnp.bfloat16))
+            rh = rpart.astype(jnp.bfloat16)
+            rl = (rpart - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+            q = _mm(lhs, jnp.concatenate([rh, rl], axis=1))  # (2CXW, 2B)
+            return q[:CXW, :B] + q[:CXW, B:] + q[CXW:, :B] + q[CXW:, B:]
+
+        hzr = jnp.repeat(hz, YW, axis=0)  # (R, B)
+        hyt = jnp.tile(hy, (DZ, 1))
+        m_oh = contract(hzr * hyt)  # forward contraction (for the x grad)
+        m_z = contract(jnp.repeat(dhz, YW, axis=0) * hyt)
+        m_y = contract(hzr * jnp.tile(dhy, (DZ, 1)))
+
+        gz = jnp.zeros((1, B), jnp.float32)
+        gy = jnp.zeros((1, B), jnp.float32)
+        gx = jnp.zeros((1, B), jnp.float32)
+        for c in range(channels):
+            gs = g_ref[0, s : s + 1, c * B : (c + 1) * B].astype(jnp.float32)
+            sl = slice(c * XW, (c + 1) * XW)
+            gz = gz + gs * jnp.sum(m_z[sl] * hx, axis=0, keepdims=True)
+            gy = gy + gs * jnp.sum(m_y[sl] * hx, axis=0, keepdims=True)
+            gx = gx + gs * jnp.sum(m_oh[sl] * dhx, axis=0, keepdims=True)
+        out_ref[0, 3 * s : 3 * s + 1, :] = gz
+        out_ref[0, 3 * s + 1 : 3 * s + 2, :] = gy
+        out_ref[0, 3 * s + 2 : 3 * s + 3, :] = gx
+
+
 def _warp_pallas(img, planes, *, nearest, interpret, win, group_win=None):
     """(C, Z, Y, X) x (3, D, H, W) -> (C, D, H, W); caller checked shapes.
 
@@ -475,12 +659,165 @@ def _warp_pallas(img, planes, *, nearest, interpret, win, group_win=None):
     return _untile_output(out_tiled, out_spatial, tile, C)
 
 
-def _tile_spans(planes, src_spatial, *, nearest):
+def _grad_pallas(img, g, planes, *, interpret, win):
+    """(C, Z, Y, X) x (C, D, H, W) x (3, D, H, W) -> (3, D, H, W) gradient of
+    the warp wrt the CLAMPED VOXEL coordinates v (chain through
+    clip+unnormalize applied by the caller)."""
+    C = img.shape[0]
+    src_spatial = tuple(int(s) for s in img.shape[1:])
+    out_spatial = tuple(int(s) for s in planes.shape[1:])
+    tile, _ = _tile_config()
+    BZ, BY, BX = tile
+    B = BZ * BY * BX
+
+    Z, Y, X = src_spatial
+    pad_spatial = (Z, _round_up(Y, 8), _round_up(X, 128))
+    if pad_spatial != src_spatial:
+        img = jnp.pad(
+            img,
+            [(0, 0), (0, 0), (0, pad_spatial[1] - Y), (0, pad_spatial[2] - X)],
+        )
+    DZ = min(win[0], Z)
+    YW = min(win[1], pad_spatial[1])
+    XW = min(win[2], pad_spatial[2])
+    num_tiles = (
+        (out_spatial[0] // BZ) * (out_spatial[1] // BY) * (out_spatial[2] // BX)
+    )
+    planes_t = _tile_planes(planes.astype(jnp.float32), tile)
+    g_t = _tile_output(g.astype(jnp.float32), tile)
+    bf16_mm = os.environ.get("KM_WARP_BF16") == "1"
+    band_dtype = jnp.bfloat16 if bf16_mm else jnp.float32
+
+    kernel_fn = functools.partial(
+        _grad_kernel,
+        src_spatial=src_spatial,
+        pad_spatial=pad_spatial,
+        windows=(DZ, YW, XW),
+        channels=C,
+        bf16_mm=bf16_mm,
+    )
+    out_tiled = pl.pallas_call(
+        kernel_fn,
+        grid=(num_tiles // _GROUP,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3 * _GROUP, B), lambda t: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _GROUP, C * B), lambda t: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3 * _GROUP, B), lambda t: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles // _GROUP, 3 * _GROUP, B), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, DZ, YW, pad_spatial[2]), band_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(planes_t, g_t, img.astype(band_dtype))
+    return _untile_planes(out_tiled, out_spatial, tile)
+
+
+def _chain_planes(gv, pe, src_spatial):
+    """Chain the grad-wrt-v through clip+unnormalize, exactly matching the
+    XLA path's jnp.clip tie convention: scale S_a/2 inside the border, 0.5x
+    at an exact clamp tie, 0 strictly outside."""
+    sizes = jnp.asarray(src_spatial, jnp.float32).reshape(3, 1, 1, 1)
+    vun = ((pe.astype(jnp.float32) + 1.0) * sizes - 1.0) * 0.5
+    hi = sizes - 1.0
+    mask = jnp.where(
+        (vun < 0.0) | (vun > hi),
+        0.0,
+        jnp.where((vun == 0.0) | (vun == hi), 0.5, 1.0),
+    )
+    return gv * mask * (sizes * 0.5)
+
+
+def _grad_planes_impl(img, planes, g, mode):
+    """Pallas grad-wrt-planes dispatch, mirroring _warp_planes_fwd_impl's
+    ladder: smallest fitting window per batch item (grad-span prepass), XLA
+    VJP fallback for wild flows. Returns None if statically ineligible."""
+    out_spatial = tuple(int(s) for s in planes.shape[2:])
+    if (
+        os.environ.get("KM_NO_WARP_GRAD") == "1"  # kill-switch: XLA VJP
+        or not fast_warp_enabled()
+        or mode != "bilinear"
+        or img.ndim != 5
+        or planes.shape[1] != 3
+        or not _shapes_eligible(img.shape, out_spatial)
+    ):
+        return None
+
+    interpret = jax.default_backend() == "cpu"
+    B, C = img.shape[:2]
+    src_spatial = tuple(int(s) for s in img.shape[2:])
+
+    ladder, seen = [], set()
+    for w in _tile_config()[1]:
+        eff = _effective_win(w, src_spatial)
+        if eff not in seen:
+            seen.add(eff)
+            ladder.append(w)
+
+    def _xla_grad(im, pe, gb):
+        _, vjp = jax.vjp(
+            lambda p: _xla_warp(im[None], p[None], "bilinear")[0], pe
+        )
+        return vjp(gb)[0]
+
+    def _make_fast(win):
+        cb = _max_band_channels(src_spatial, win, grad=True)
+
+        def _fast(im, pe, gb):
+            parts = [
+                _grad_pallas(im[c0 : c0 + cb], gb[c0 : c0 + cb], pe,
+                             interpret=interpret, win=win)
+                for c0 in range(0, C, cb)
+            ]
+            gv = parts[0]
+            for part in parts[1:]:
+                gv = gv + part
+            return _chain_planes(gv, pe, src_spatial).astype(pe.dtype)
+
+        return _fast
+
+    outs = []
+    for b in range(B):
+        spans = _tile_spans(planes[b], src_spatial, nearest=False, grad=True)
+        branch = _xla_grad
+        for win in reversed(ladder):
+            fits = jnp.all(
+                spans
+                <= jnp.asarray(_effective_win(win, src_spatial), jnp.float32)
+            )
+
+            def _cond(im, pe, gb, _fit=fits, _f=_make_fast(win), _alt=branch):
+                return jax.lax.cond(_fit, _f, _alt, im, pe, gb)
+
+            branch = _cond
+        outs.append(branch(img[b], planes[b], g[b]))
+    return jnp.stack(outs, axis=0)
+
+
+def _tile_spans(planes, src_spatial, *, nearest, grad=False):
     """Exact XLA prepass: per-axis MAX coordinate span over all tiles.
 
     planes: (3, D, H, W). Returns a (3,) fp32 vector. Pure reductions — no
     gather. Computed once per call; each ladder window config compares
     against it (see :func:`_effective_win`).
+
+    ``grad``: the backward kernel's corner-difference formulation reads
+    ``floor(v)+1`` even at exactly-integral coordinates (where the forward
+    hat weight there is zero and ``ceil`` == ``floor``), so its band must
+    span one more row in that case: span uses floor(vmax)+1, not ceil(vmax).
     """
     D, H, W = (int(s) for s in planes.shape[1:])
     (BZ, BY, BX), _ = _tile_config()
@@ -497,7 +834,8 @@ def _tile_spans(planes, src_spatial, *, nearest):
     lo = jnp.floor(vmin)
     # the kernel rounds the y band start down to a sublane multiple of 8
     lo = lo.at[1].set(jnp.floor(lo[1] / 8.0) * 8.0)
-    span = jnp.ceil(vmax) - lo + 1.0
+    hi = jnp.floor(vmax) + 1.0 if grad else jnp.ceil(vmax)
+    span = hi - lo + 1.0
     return jnp.max(span, axis=(1, 2, 3))
 
 
@@ -614,7 +952,7 @@ def fast_warp_enabled():
 _BAND_VMEM_BUDGET = 4 * 2**20
 
 
-def _max_band_channels(src_spatial, win=None, group_win=None):
+def _max_band_channels(src_spatial, win=None, group_win=None, grad=False):
     Z, Y, X = src_spatial
     (BZ, BY, BX), ladder = _tile_config()
     if win is None:
@@ -632,9 +970,11 @@ def _max_band_channels(src_spatial, win=None, group_win=None):
         band_elems = 2 * DZ * YW * Xp
     # channel-scaled VMEM: the band buffer(s), the rolled (R, Xp)
     # transient, the channel-stacked matmul operands (hi/lo bf16 ~ 2 words
-    # of R*XW) + its (XW, B) output slab, and the output lanes
+    # of R*XW) + its (XW, B) output slab, and the output lanes. The grad
+    # kernel's matmul rhs/output triple in width ([oh|dohz|dohy]).
+    mm_out = 3 if grad else 1
     per_channel = (
-        band_elems + R * Xp + 2 * R * XW + B * (2 * XW + 2 * _GROUP)
+        band_elems + R * Xp + 2 * R * XW + B * (2 * mm_out * XW + 2 * _GROUP)
     ) * 4
     return max(1, _BAND_VMEM_BUDGET // per_channel)
 
@@ -742,12 +1082,19 @@ def _warp_planes_fwd(mode, img, planes):
 
 
 def _warp_planes_bwd(mode, res, g):
-    # gradients flow through the XLA path: identical values (both paths
-    # compute the same function), and the gather VJP (scatter-add) is the
-    # only TPU lowering available for the transpose today
+    # The planes (flow) gradient rides the gather-free Pallas grad kernel
+    # when eligible (the only branch a training step keeps — image/seg
+    # cotangents never reach the params and are pruned); the image gradient
+    # and every ineligible case keep the XLA path's VJP. Both compute the
+    # same function, so values are unchanged either way; XLA DCEs whichever
+    # XLA-side cotangent ends up unused.
     img, planes = res
     _, vjp = jax.vjp(lambda im, pe: _xla_warp(im, pe, mode), img, planes)
-    return vjp(g)
+    g_img, g_planes_xla = vjp(g)
+    g_planes = _grad_planes_impl(img, planes, g, mode)
+    if g_planes is None:
+        g_planes = g_planes_xla
+    return g_img, g_planes.astype(g_planes_xla.dtype)
 
 
 _warp.defvjp(_warp_planes_fwd, _warp_planes_bwd)

@@ -130,6 +130,103 @@ def test_grad_matches_xla_path(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def _grad_pair(src, planes, gseed=7):
+    """(pallas-path grads, xla-path grads) of a random-cotangent VJP."""
+    img = jnp.asarray(src)
+    pe = jnp.asarray(planes)
+    out, vjp_fast = jax.vjp(lambda p: resample3d.warp_planes(img, p), pe)
+    _, vjp_xla = jax.vjp(lambda p: grid_sample_planes(img, p), pe)
+    g = jax.random.normal(jax.random.PRNGKey(gseed), out.shape, jnp.float32)
+    return vjp_fast(g)[0], vjp_xla(g)[0]
+
+
+def test_grad_kernel_smooth_flow(rng):
+    """The Pallas grad-wrt-planes kernel matches the XLA VJP elementwise."""
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    gf, gx = _grad_pair(src, planes)
+    # hi/lo bf16 stacking carries ~2^-16 relative matmul error; the clip
+    # chain scales grads by S/2, so absolute tolerance scales with S
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=5e-4)
+
+
+def test_grad_kernel_integral_coords(rng):
+    """Exactly-integral sample coordinates: the corner-difference gradient
+    needs floor(v)+1 in the band even where the forward hat there is zero
+    (the grad-span prepass) — and interior integral coords have NONZERO
+    gradient (img[lo+1] - img[lo]), unlike a naive hat-derivative."""
+    S = 32
+    idx = np.arange(S, dtype=np.float32)
+    c = (2.0 * idx + 1.0) / S - 1.0  # voxel centers: v exactly integral
+    zz, yy, xx = np.meshgrid(c, c, c, indexing="ij")
+    planes = np.stack([zz, yy, xx]).astype(np.float32)[None]
+    src = rng.random((1, 1, S, S, S), dtype=np.float32)
+    gf, gx = _grad_pair(src, planes)
+    assert float(jnp.max(jnp.abs(gx))) > 0.1  # the case is non-trivial
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=5e-4)
+
+
+def test_grad_kernel_border_ties_and_outside(rng):
+    """Far-outside samples (zero grad), exact border ties (0.5x clip factor),
+    and clamped-corner collapse at the true top edge all match XLA."""
+    S = 32
+    src = rng.random((1, 1, S, S, S), dtype=np.float32)
+    planes = _smooth_planes(rng, (S, S, S)) * 3.0 - 1.5
+    # plant exact ties: v == 0 at p = 1/S - 1, v == S-1 at p = (2S-1)/S - 1
+    planes[0, 0, 0, :2, :] = 1.0 / S - 1.0
+    planes[0, 1, 1, :, :2] = (2.0 * S - 1.0) / S - 1.0
+    gf, gx = _grad_pair(src, planes)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_grad_kernel_channels_chunking(rng, monkeypatch):
+    """Multi-channel grads sum over channel chunks exactly."""
+    monkeypatch.setattr(resample3d, "_BAND_VMEM_BUDGET", 2 * 2**20)
+    src = rng.random((1, 5, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    gf, gx = _grad_pair(src, planes)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-3)
+
+
+def test_grad_kernel_wild_flow_falls_back(rng):
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    zz = np.linspace(-1, 1, 32)
+    planes[0, 0] += 0.9 * np.sin(40.0 * zz)[None, :, None]
+    gf, gx = _grad_pair(src, planes)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=5e-5)
+
+
+def test_grad_kernel_kill_switch(rng, monkeypatch):
+    """KM_NO_WARP_GRAD=1 must route the VJP back to the XLA path."""
+    monkeypatch.setenv("KM_NO_WARP_GRAD", "1")
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    assert resample3d._grad_planes_impl(
+        jnp.asarray(src), jnp.asarray(planes),
+        jnp.zeros((1, 1, 32, 32, 32), jnp.float32), "bilinear",
+    ) is None
+    gf, gx = _grad_pair(src, planes)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-6)
+
+
+def test_grad_kernel_nearest_stays_xla(rng):
+    """nearest-mode planes gradient (identically zero) keeps the XLA VJP."""
+    src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
+    planes = _smooth_planes(rng, (32, 32, 32))
+    assert resample3d._grad_planes_impl(
+        jnp.asarray(src), jnp.asarray(planes),
+        jnp.zeros((1, 1, 32, 32, 32), jnp.float32), "nearest",
+    ) is None
+    out, vjp = jax.vjp(
+        lambda p: resample3d.warp_planes(jnp.asarray(src), p, "nearest"),
+        jnp.asarray(planes),
+    )
+    g = vjp(jnp.ones_like(out))[0]
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=0.0)
+
+
 @pytest.mark.slow
 def test_warp_grid_contract(rng):
     """xy-ordered grid entrypoint matches ops.resample.grid_sample."""
