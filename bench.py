@@ -28,7 +28,9 @@ import time
 KILL_SWITCH_ENVS = (
     "KM_NO_CONV_STATS",
     "KM_NO_CONV_SLIDE",
+    "KM_NO_CONV_FLAT",
     "KM_NO_WARP_GROUP",
+    "KM_NO_WARP_GRAD",
     "KM_NO_FAST_CONV",
     "KM_WARP_TILES",
     "KM_CONV_TILES",
@@ -127,6 +129,7 @@ def build_register_with_degrade(net, params, img_f, img_m, num_chunks: int = 8):
                          "retrying proven fallback config\n")
         os.environ["KM_NO_CONV_STATS"] = "1"
         os.environ["KM_NO_CONV_SLIDE"] = "1"
+        os.environ["KM_NO_CONV_FLAT"] = "1"  # padded-copy conv kernel
         os.environ["KM_NO_WARP_GROUP"] = "1"
         os.environ["KM_WARP_TILES"] = "4,8,32,16,40,64"
         register = build_register(net, num_chunks=num_chunks, planes=False)

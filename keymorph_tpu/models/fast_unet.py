@@ -100,6 +100,22 @@ def _gn_affine(x, gamma, beta, groups, channel_axis):
     )
 
 
+def _conv_affine(p: Dict[str, Any], cin: int, num_groups: int, stats):
+    """(w, scale, shift, bias) kernel operands for a SingleConv param dict
+    ('gcr' -> GN folded to a per-channel affine from ``stats``; 'cr' ->
+    conv bias only)."""
+    w = p["Conv_0"]["kernel"]
+    scale = shift = bias = None
+    if "GroupNorm_0" in p:
+        g = _gn_groups(cin, num_groups)
+        scale, shift = _gn_affine_from_stats(
+            stats, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g,
+        )
+    else:
+        bias = p["Conv_0"].get("bias")
+    return w, scale, shift, bias
+
+
 def _single_conv_zc(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None,
                     emit_stats=False):
     """'gcr'/'cr' SingleConv on (Z, C, Y, X) via the fused kernel.
@@ -110,16 +126,10 @@ def _single_conv_zc(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None
     additionally returns the OUTPUT's (mean, msq), aggregated from
     in-kernel partials — DoubleConv feeds them to its second conv so the
     intermediate tensor is never re-read for GroupNorm statistics."""
-    w = p["Conv_0"]["kernel"]
-    scale = shift = bias = None
-    if "GroupNorm_0" in p:
-        g = _gn_groups(x.shape[1], num_groups)
-        scale, shift = _gn_affine_from_stats(
-            stats if stats is not None else _channel_stats(x, 1),
-            p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"], g,
-        )
-    else:
-        bias = p["Conv_0"].get("bias")
+    w, scale, shift, bias = _conv_affine(
+        p, int(x.shape[1]), num_groups,
+        stats if stats is not None else _channel_stats(x, 1),
+    )
     return conv3d.conv3x3_fused(x, w, scale=scale, shift=shift, bias=bias,
                                 relu=relu, emit_stats=emit_stats)
 
@@ -197,10 +207,31 @@ def _double_conv(p, x, fast: bool, num_groups: int, stats0=None):
             "GroupNorm_0" in p["SingleConv_1"]
             and os.environ.get("KM_NO_CONV_STATS") != "1"
         )
-        r = _single_conv_zc(p["SingleConv_0"], x, num_groups, stats=stats0,
-                            emit_stats=wants)
-        x, s1 = r if wants else (r, None)
-        return _single_conv_zc(p["SingleConv_1"], x, num_groups, stats=s1)
+        Z, C, Y, X = (int(s) for s in x.shape)
+        w0, sc0, sh0, b0 = _conv_affine(
+            p["SingleConv_0"], C, num_groups,
+            stats0 if stats0 is not None else _channel_stats(x, 1),
+        )
+        # both convs run on the kernel's native flat (Z, C, Y*X) lane
+        # layout: the (Y, X)->lanes relayout is paid once per DoubleConv
+        # instead of per conv (conv3d.conv3x3_fused_flat), and conv2's GN
+        # affine comes from conv1's in-kernel stats — the intermediate is
+        # never re-read
+        xf = x.reshape(Z, C, Y * X)
+        r = conv3d.conv3x3_fused_flat(
+            xf, (Z, Y, X), w0, scale=sc0, shift=sh0, bias=b0,
+            emit_stats=wants,
+        )
+        yf, s1 = r if wants else (r, None)
+        C1 = int(yf.shape[1])
+        w1, sc1, sh1, b1 = _conv_affine(
+            p["SingleConv_1"], C1, num_groups,
+            s1 if s1 is not None else _channel_stats(yf, 1),
+        )
+        of = conv3d.conv3x3_fused_flat(
+            yf, (Z, Y, X), w1, scale=sc1, shift=sh1, bias=b1,
+        )
+        return of.reshape(Z, int(of.shape[1]), Y, X)
     x = _single_conv_cl(p["SingleConv_0"], x, num_groups, stats=stats0)
     return _single_conv_cl(p["SingleConv_1"], x, num_groups)
 

@@ -121,7 +121,8 @@ def _shapes_eligible(shape):
 
 
 def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
-            n_cells_y, relu, out_dtype, Z=None, emit_stats=False, slide=True):
+            n_cells_y, relu, out_dtype, Z=None, emit_stats=False, slide=True,
+            ablate=None):
     """Grid: (n_cells_z * n_cells_y,) linearized. One Cin group per call —
     larger channel counts are split into independent single-group calls and
     summed by the host wrapper (keeps the kernel free of revisited-output
@@ -174,26 +175,51 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
     c_left = bias_ref[:, 1:2]  # x=0 boundary constant (dx=-1 tap)
     c_right = bias_ref[:, 2:3]  # x=X-1 boundary constant (dx=+1 tap)
 
-    if emit_stats:
+    _cell_compute(
+        wt_ref, out_ref, band, s_ref, slot, lane, b, c_left, c_right,
+        stats=(stat_ref, t) if emit_stats else None,
+        ZB=ZB, Cg=Cg, X=X, Cout=Cout, N=N, Z=Z, n_cells_y=n_cells_y,
+        relu=relu, out_dtype=out_dtype, slide=slide, ablate=ablate,
+    )
+
+
+def _cell_compute(wt_ref, out_ref, band, s_ref, slot, lane, b, c_left,
+                  c_right, *, stats, ZB, Cg, X, Cout, N, Z, n_cells_y,
+                  relu, out_dtype, slide, ablate, cshift=None):
+    """Shared per-cell compute: tap stack -> matmul -> dx combine -> relu ->
+    out block (+ optional per-cell stats partials). ``cshift`` — the flat
+    (in-kernel-halo) kernel's (Cg, 1) +b/a column — is added during the
+    stack copies; with the halo regions pre-filled to -b/a, out-of-bounds
+    taps become exact zeros (see _kernel_flat)."""
+    if stats is not None:
+        stat_ref, t = stats
         s1 = jnp.zeros((Cout, 1), jnp.float32)
         s2 = jnp.zeros((Cout, 1), jnp.float32)
 
-    if slide:
+    def stacked(src):
+        return src if cshift is None else src + cshift
+
+    if slide and ablate != "nostack":
         # sliding stack: each (z-plane, dy) block copied once per cell;
         # every lz reads a contiguous K window (see _slide_stack)
         for zp in range(ZB + 2):
             for dy in range(3):
                 s_ref[(zp * 3 + dy) * Cg : (zp * 3 + dy + 1) * Cg, :] = (
-                    band[slot, zp, :, (7 + dy) * X : (7 + dy) * X + N]
+                    stacked(band[slot, zp, :, (7 + dy) * X : (7 + dy) * X + N])
                 )
 
     for lz in range(ZB):
-        if not slide:
+        if not slide and ablate != "nostack":
             # stack the 9 (dz, dy) taps: S[(dz*3+dy)*Cg : +Cg] = shifted rows
             for dz in range(3):
                 for dy in range(3):
                     s_ref[(dz * 3 + dy) * Cg : (dz * 3 + dy + 1) * Cg, :] = (
-                        band[slot, lz + dz, :, (7 + dy) * X : (7 + dy) * X + N]
+                        stacked(
+                            band[
+                                slot, lz + dz, :,
+                                (7 + dy) * X : (7 + dy) * X + N,
+                            ]
+                        )
                     )
         s = (
             s_ref[lz * 3 * Cg : lz * 3 * Cg + 9 * Cg, :]
@@ -203,32 +229,38 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
         o = jnp.broadcast_to(b, (Cout, N)).astype(jnp.float32)
         o = o + jnp.where(lane == 0, c_left, 0.0)
         o = o + jnp.where(lane == X - 1, c_right, 0.0)
-        # one matmul for all 3 dx taps: M = 3*Cout fills the MXU's 128
-        # sublanes where a per-tap M = Cout (16-64 at the hot levels) left
-        # it 12-50% occupied — the difference between the kernel being
-        # matmul-bound and bandwidth-bound at Cout=32
-        y_all = jax.lax.dot_general(
-            wt_ref[...].reshape(3 * Cout, 9 * Cg),
-            s,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (3*Cout, N)
+        if ablate == "nomm":
+            y_all = jnp.zeros((3 * Cout, N), jnp.float32)
+        else:
+            # one matmul for all 3 dx taps: M = 3*Cout fills the MXU's 128
+            # sublanes where a per-tap M = Cout (16-64 at the hot levels)
+            # left it 12-50% occupied — the difference between the kernel
+            # being matmul-bound and bandwidth-bound at Cout=32
+            y_all = jax.lax.dot_general(
+                wt_ref[...].reshape(3 * Cout, 9 * Cg),
+                s,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3*Cout, N)
         for dx in range(3):
             y_dx = y_all[dx * Cout : (dx + 1) * Cout]
-            if dx == 0:
-                # output x gets input x-1: shift contributions right; the
-                # first column of every X-row would wrap — zero it (the
-                # boundary constant was added above)
-                y_dx = jnp.where(lane > 0, pltpu.roll(y_dx, 1, 1), 0.0)
-            elif dx == 2:
-                # left-roll by 1 == right-roll by N-1 (pltpu.roll wants >= 0)
-                y_dx = jnp.where(lane < X - 1, pltpu.roll(y_dx, N - 1, 1), 0.0)
+            if ablate != "noroll":
+                if dx == 0:
+                    # output x gets input x-1: shift contributions right;
+                    # the first column of every X-row would wrap — zero it
+                    # (the boundary constant was added above)
+                    y_dx = jnp.where(lane > 0, pltpu.roll(y_dx, 1, 1), 0.0)
+                elif dx == 2:
+                    # left-roll by 1 == right-roll by N-1 (roll wants >= 0)
+                    y_dx = jnp.where(
+                        lane < X - 1, pltpu.roll(y_dx, N - 1, 1), 0.0
+                    )
             o = o + y_dx
         if relu:
             o = jnp.maximum(o, 0.0)
         oc = o.astype(out_dtype)
         out_ref[lz] = oc
-        if emit_stats:
+        if stats is not None:
             # register accumulation across the unrolled lz loop, one write
             # at the end — no revisited-output-block accumulation (which
             # this tunnel's Mosaic build miscompiles). z-pad rows (z >= Z)
@@ -239,26 +271,187 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
             s1 = s1 + w * jnp.sum(of, axis=1, keepdims=True)
             s2 = s2 + w * jnp.sum(of * of, axis=1, keepdims=True)
 
-    if emit_stats:
+    if stats is not None:
         stat_ref[0] = jnp.pad(
             jnp.concatenate([s1, s2], axis=1), ((0, 0), (0, 126))
         )
+
+
+def _kernel_flat(wt_ref, bias_ref, cvec_ref, x_ref, out_ref, *refs, ZB, YB,
+                 Cg, c0, X, Y, Z, Cout, n_cells_y, relu, out_dtype,
+                 emit_stats=False, slide=True, has_shift=False, ablate=None):
+    """In-kernel-halo variant: reads the UNPADDED flat volume directly.
+
+    The xp-building chain the padded kernel needs (pad + reshape + layout
+    copy) measured 5-7 ms per 256^3 conv — more than the 4.8 ms kernel
+    itself. Here each cell's band DMA comes straight out of the flat
+    (Z, Cin_total, Y*X) tensor with statically-shaped boundary branches,
+    halo rows/lane-strips are filled in-kernel with -b/a, and the +b/a
+    pre-shift (see _prepack: zero-halo folding) rides the tap-stack copies
+    — so out-of-bounds taps are exact zeros and NO padded copy of the
+    volume ever exists.
+
+    x_ref:    (Z, Cin_total, Y*X) HBM, bf16; this call reads channels
+              [c0, c0+Cg) — channel grouping without host-side slicing.
+    cvec_ref: (Cg, 128) bf16, every column = b/a (zeros without a shift).
+    Other refs/scratch as _kernel.
+    """
+    if emit_stats:
+        stat_ref, band, s_ref, sem = refs
+    else:
+        band, s_ref, sem = refs
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    WL = (YB + 16) * X
+    N = YB * X
+    n_cz = n_t // n_cells_y
+    tail = Z - (n_cz - 1) * ZB  # static rows of the last z cell (<= ZB)
+
+    # ---- statically-shaped boundary cases -------------------------------
+    # z: (cond, src row start, rows, dest row offset). The band holds
+    # ZB+2 z rows; row 0 / row tail+1.. are halo when the window clips.
+    def z_cases(iz):
+        if n_cz == 1:
+            return [(None, 0, Z, 1)]
+        cases = [(iz == 0, 0, ZB + 1, 1)]
+        if n_cz > 2:
+            cases.append(
+                ((iz > 0) & (iz < n_cz - 1), iz * ZB - 1, ZB + 2, 0)
+            )
+        cases.append((iz == n_cz - 1, iz * ZB - 1, tail + 1, 0))
+        return cases
+
+    # y: (cond, src lane start, lanes, dest lane offset); the 8-row halo
+    # strips at the volume's y edges are filled, interior cells' strips are
+    # real neighbor rows (the sublane-alignment slack, as in the xp path).
+    def y_cases(iy):
+        if n_cells_y == 1:
+            return [(None, 0, Y * X, 8 * X)]
+        cases = [(iy == 0, 0, WL - 8 * X, 8 * X)]
+        if n_cells_y > 2:
+            cases.append(
+                (
+                    (iy > 0) & (iy < n_cells_y - 1),
+                    (iy * YB - 8) * X, WL, 0,
+                )
+            )
+        cases.append(
+            (iy == n_cells_y - 1, (iy * YB - 8) * X, WL - 8 * X, 0)
+        )
+        return cases
+
+    hneg = -cvec_ref[:, 0:1]  # (Cg, 1) bf16: halo fill; stack adds +b/a
+
+    def fill_rows(slot, r0, r1, l0, l1):
+        for r in range(r0, r1):
+            band[slot, r, :, l0:l1] = jnp.broadcast_to(hneg, (Cg, l1 - l0))
+
+    def issue(step, slot):
+        iz = step // n_cells_y
+        iy = step % n_cells_y
+        for zc, z0, zr, zd in z_cases(iz):
+            for yc, y0, yl, yd in y_cases(iy):
+                def _go(z0=z0, zr=zr, zd=zd, y0=y0, yl=yl, yd=yd):
+                    y0h = pl.multiple_of(y0, 128) if not isinstance(
+                        y0, int
+                    ) else y0
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(z0, zr), pl.ds(c0, Cg), pl.ds(y0h, yl)],
+                        band.at[slot, pl.ds(zd, zr), :, pl.ds(yd, yl)],
+                        sem.at[slot],
+                    ).start()
+                cond = zc if yc is None else (yc if zc is None else zc & yc)
+                if cond is None:
+                    _go()
+                else:
+                    pl.when(cond)(_go)
+        # halo fills (disjoint from the DMA's dest region; VPU work that
+        # overlaps the copy). Only boundary cells write anything.
+        if n_cz == 1:
+            fill_rows(slot, 0, 1, 0, WL)
+            fill_rows(slot, Z + 1, ZB + 2, 0, WL)
+        else:
+            @pl.when(iz == 0)
+            def _():
+                fill_rows(slot, 0, 1, 0, WL)
+
+            @pl.when(iz == n_cz - 1)
+            def _():
+                fill_rows(slot, tail + 1, ZB + 2, 0, WL)
+        if n_cells_y == 1:
+            fill_rows(slot, 0, ZB + 2, 0, 8 * X)
+            fill_rows(slot, 0, ZB + 2, WL - 8 * X, WL)
+        else:
+            @pl.when(iy == 0)
+            def _():
+                fill_rows(slot, 0, ZB + 2, 0, 8 * X)
+
+            @pl.when(iy == n_cells_y - 1)
+            def _():
+                fill_rows(slot, 0, ZB + 2, WL - 8 * X, WL)
+
+    def wait(step, slot):
+        # the wait descriptor must match the issued copy's byte count, so
+        # mirror issue()'s branch structure (conditions are pure functions
+        # of the step index — recomputable here)
+        iz = step // n_cells_y
+        iy = step % n_cells_y
+        for zc, z0, zr, zd in z_cases(iz):
+            for yc, y0, yl, yd in y_cases(iy):
+                def _go(z0=z0, zr=zr, zd=zd, y0=y0, yl=yl, yd=yd):
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(z0, zr), pl.ds(c0, Cg), pl.ds(y0, yl)],
+                        band.at[slot, pl.ds(zd, zr), :, pl.ds(yd, yl)],
+                        sem.at[slot],
+                    ).wait()
+                cond = zc if yc is None else (yc if zc is None else zc & yc)
+                if cond is None:
+                    _go()
+                else:
+                    pl.when(cond)(_go)
+
+    @pl.when(t == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        issue(t + 1, (t + 1) % 2)
+
+    wait(t, t % 2)
+    slot = t % 2
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1) % X
+    b = bias_ref[:, 0:1]
+    c_left = bias_ref[:, 1:2]
+    c_right = bias_ref[:, 2:3]
+    cshift = cvec_ref[:, 0:1] if has_shift else None
+
+    _cell_compute(
+        wt_ref, out_ref, band, s_ref, slot, lane, b, c_left, c_right,
+        stats=(stat_ref, t) if emit_stats else None,
+        ZB=ZB, Cg=Cg, X=X, Cout=Cout, N=N, Z=Z, n_cells_y=n_cells_y,
+        relu=relu, out_dtype=out_dtype, slide=slide, ablate=ablate,
+        cshift=cshift,
+    )
 
 
 def _prepack(w, scale, shift, bias):
     """(3,3,3,Cin,Cout) HWIO + per-Cin affine -> kernel operands.
 
     Returns (wt (3, Cout, 9*Cin) bf16, bias_col (Cout, 128) fp32,
-    halo (Cin,) fp32).
+    xshift (Cin,) fp32 or None).
 
-    Folding with exact zero-padding semantics: the true op is
-    conv_W(pad0(a*x + b)). The kernel computes conv_{aW}(pad_h(x)) + ΣWb
-    with halo value h = -b/a per channel, so every out-of-bounds tap
-    contributes (aW)·(-b/a) = -W·b, exactly cancelling its share of the
-    folded ΣWb term. The x axis has no physical halo (the dx shift is a
-    lane roll); its two boundary columns instead get the per-dx-tap
-    constants c_dx = -Σ_{dz,dy,ci} W[dz,dy,dx,ci,:]·b[ci], stored in
-    bias_col columns 1 (dx=-1 tap at x=0) and 2 (dx=+1 tap at x=X-1).
+    Zero-halo folding: the true op is conv_W(pad0(a*x + b)). With the
+    input pre-shifted to xs = x + b/a, conv_{aW}(pad0(xs)) equals it
+    EXACTLY — an interior tap gives aW·(x + b/a) = W·(ax + b), and an
+    out-of-bounds tap contributes 0 on both sides. The former
+    pad_{-b/a} scheme's halo value, folded ΣWb bias, and x-boundary
+    roll constants all collapse to zero: one plain zero-pad (a single
+    fused XLA op, with the + b/a shift fused into it) replaces the
+    measured 3-pass pad+concat+reshape chain (6.7 of l1c2's 11.5 ms at
+    256³ — the kernel itself was only 4.8). bias_col carries only the
+    conv bias; columns 1-2 (the former roll constants) stay zero.
     """
     k1, k2, k3, cin, cout = w.shape
     assert (k1, k2, k3) == (3, 3, 3)
@@ -266,32 +459,20 @@ def _prepack(w, scale, shift, bias):
     if scale is not None:
         wf = wf * scale.astype(jnp.float32)[None, None, None, :, None]
     fold_bias = jnp.zeros((cout,), jnp.float32)
-    c_left = jnp.zeros((cout,), jnp.float32)
-    c_right = jnp.zeros((cout,), jnp.float32)
-    halo = jnp.zeros((cin,), jnp.float32)
+    xshift = None
     if shift is not None:
         b = shift.astype(jnp.float32)
-        w32 = w.astype(jnp.float32)
-        prec = jax.lax.Precision.HIGHEST
-        fold_bias = jnp.einsum("zyxio,i->o", w32, b, precision=prec)
-        c_left = -jnp.einsum("zyio,i->o", w32[:, :, 0], b, precision=prec)
-        c_right = -jnp.einsum("zyio,i->o", w32[:, :, 2], b, precision=prec)
         if scale is not None:
             a = scale.astype(jnp.float32)
-            halo = jnp.where(a != 0.0, -b / jnp.where(a == 0.0, 1.0, a), 0.0)
+            xshift = jnp.where(a != 0.0, b / jnp.where(a == 0.0, 1.0, a), 0.0)
         else:
-            halo = -b
+            xshift = b
     if bias is not None:
         fold_bias = fold_bias + bias.astype(jnp.float32)
     # (dz, dy, dx, ci, co) -> (dx, co, dz, dy, ci)
     wt = jnp.transpose(wf, (2, 4, 0, 1, 3)).reshape(3, cout, 9 * cin)
-    bias_col = (
-        jnp.zeros((cout, 128), jnp.float32)
-        .at[:, 0].set(fold_bias)
-        .at[:, 1].set(c_left)
-        .at[:, 2].set(c_right)
-    )
-    return wt.astype(jnp.bfloat16), bias_col, halo
+    bias_col = jnp.zeros((cout, 128), jnp.float32).at[:, 0].set(fold_bias)
+    return wt.astype(jnp.bfloat16), bias_col, xshift
 
 
 def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
@@ -307,20 +488,16 @@ def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
     # pad Z to a ZB multiple (zeros; extra rows discarded)
     Zp = _round_up(Z, ZB)
 
-    wt, bias_col, halo = _prepack(w, scale, shift, bias)
+    wt, bias_col, xshift = _prepack(w, scale, shift, bias)
 
-    xb = x.astype(jnp.bfloat16)
-    # halo pad: +1 z both sides (+ZB alignment), +8 y rows both sides. Halo
-    # entries hold -shift/scale per channel (zero without a shift) — see
-    # _prepack: out-of-bounds taps then cancel the folded bias exactly.
-    hv = halo.astype(jnp.bfloat16)
-    ypad = jnp.broadcast_to(hv[None, :, None, None], (Z, Cin, 8, X))
-    body = jnp.concatenate([ypad, xb, ypad], axis=2)  # (Z, Cin, Y+16, X)
-    zpad_f = jnp.broadcast_to(hv[None, :, None, None], (1, Cin, Y + 16, X))
-    zpad_b = jnp.broadcast_to(
-        hv[None, :, None, None], (1 + Zp - Z, Cin, Y + 16, X)
-    )
-    xp = jnp.concatenate([zpad_f, body, zpad_b], axis=0)
+    # pre-shifted input (see _prepack: zero-halo folding) + ONE zero-pad:
+    # +1 z both sides (+ZB alignment), +8 y rows both sides (the band DMA's
+    # y start must be sublane-aligned). XLA fuses shift+cast into the pad.
+    xb = x
+    if xshift is not None:
+        xb = x.astype(jnp.float32) + xshift[None, :, None, None]
+    xb = xb.astype(jnp.bfloat16)
+    xp = jnp.pad(xb, ((1, 1 + Zp - Z), (0, 0), (8, 8), (0, 0)))
     xp = xp.reshape(Zp + 2, Cin, (Y + 16) * X)
 
     n_cells_z = Zp // ZB
@@ -347,12 +524,16 @@ def _conv_pallas_group(x, w, scale, shift, bias, relu, interpret, tiles,
             jax.ShapeDtypeStruct((n_cells, Cout, 128), jnp.float32),
         ]
 
+    # timing-only ablation hook (tools/conv_ablate.py): numerics are WRONG
+    # under any non-empty value — never set outside attribution runs
+    ablate = os.environ.get("KM_CONV_ABLATE") or None
+
     res = pl.pallas_call(
         functools.partial(
             _kernel,
             ZB=ZB, YB=YB, Cg=Cin, X=X, Cout=Cout,
             n_cells_y=n_cells_y, relu=relu, out_dtype=out_dtype,
-            Z=Z, emit_stats=emit_stats, slide=slide,
+            Z=Z, emit_stats=emit_stats, slide=slide, ablate=ablate,
         ),
         grid=grid,
         in_specs=[
@@ -391,17 +572,177 @@ def _xla_out_stats(out):
     return jnp.mean(of, axis=(0, 2, 3)), jnp.mean(jnp.square(of), axis=(0, 2, 3))
 
 
+def _xla_out_stats_flat(out):
+    """Flat-layout (Z, Cout, Y*X) version of _xla_out_stats."""
+    of = out.astype(jnp.float32)
+    return jnp.mean(of, axis=(0, 2)), jnp.mean(jnp.square(of), axis=(0, 2))
+
+
+def _conv_pallas_group_flat(xf, spatial, c0, w, scale, shift, bias, relu,
+                            interpret, tiles, out_dtype=jnp.bfloat16,
+                            emit_stats=False):
+    """Single Cin-group call via the in-kernel-halo kernel: reads channels
+    [c0, c0+Cg) of the UNPADDED flat (Z, Cin_total, Y*X) volume directly
+    (no padded copy, no host-side channel slice). w/scale/shift are the
+    group's slices. Returns flat (Zp, Cout, Y*X)."""
+    Z, Y, X = spatial
+    Cg = int(w.shape[3])
+    Cout = int(w.shape[-1])
+    ZB, YB, _, slide = tiles
+    Zp = _round_up(Z, ZB)
+
+    wt, bias_col, xshift = _prepack(w, scale, shift, bias)
+    has_shift = xshift is not None
+    cvec = jnp.broadcast_to(
+        (
+            xshift if has_shift else jnp.zeros((Cg,), jnp.float32)
+        ).astype(jnp.bfloat16)[:, None],
+        (Cg, 128),
+    )
+
+    n_cells_z = Zp // ZB
+    n_cells_y = Y // YB
+    grid = (n_cells_z * n_cells_y,)
+    N = YB * X
+    WL = (YB + 16) * X
+
+    out_specs = pl.BlockSpec(
+        (ZB, Cout, N),
+        lambda t: (t // n_cells_y, 0, t % n_cells_y),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((Zp, Cout, Y * X), out_dtype)
+    if emit_stats:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, Cout, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((grid[0], Cout, 128), jnp.float32),
+        ]
+
+    ablate = os.environ.get("KM_CONV_ABLATE") or None
+    res = pl.pallas_call(
+        functools.partial(
+            _kernel_flat,
+            ZB=ZB, YB=YB, Cg=Cg, c0=c0, X=X, Y=Y, Z=Z, Cout=Cout,
+            n_cells_y=n_cells_y, relu=relu, out_dtype=out_dtype,
+            emit_stats=emit_stats, slide=slide, has_shift=has_shift,
+            ablate=ablate,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (3, Cout, 9 * Cg), lambda t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((Cout, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cg, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, ZB + 2, Cg, WL), jnp.bfloat16),
+            pltpu.VMEM(
+                ((3 * (ZB + 2) if slide else 9) * Cg, N),
+                jnp.bfloat16,
+            ),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(wt, bias_col, cvec, xf)
+    if emit_stats:
+        out, partials = res
+        sums = jnp.sum(partials[:, :, :2], axis=0)
+        n = jnp.float32(Z * Y * X)
+        return out, (sums[:, 0] / n, sums[:, 1] / n)
+    return res
+
+
+def _conv_pallas_flat(xf, spatial, w, scale, shift, bias, relu, interpret,
+                      emit_stats=False):
+    """Flat (Z, Cin, Y*X) -> flat (Z, Cout, Y*X) via the in-kernel-halo
+    kernel. Channel groups beyond the VMEM budget run as independent calls
+    reading their slice in-kernel (no host-side slicing), summed here."""
+    Z, Y, X = spatial
+    Cin = int(xf.shape[1])
+    Cout = int(w.shape[-1])
+    if Cin < 8:
+        # sub-sublane channel counts hit Mosaic DMA limits; zero-pad
+        # channels (zero weights -> numerics unchanged)
+        pad = 8 - Cin
+        xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+        if scale is not None:
+            scale = jnp.pad(scale, (0, pad))
+        if shift is not None:
+            shift = jnp.pad(shift, (0, pad))
+        Cin = 8
+    xf = xf.astype(jnp.bfloat16)
+    tiles = _pick_tiles(Cin, Cout, Y, X)
+    assert tiles is not None
+    ZB, YB, Cg, slide = tiles
+    Zp = _round_up(Z, ZB)
+
+    def grp(c0, with_consts, relu_g, out_dtype, stats_g=False):
+        c1 = min(c0 + Cg, Cin)
+        return _conv_pallas_group_flat(
+            xf, spatial, c0,
+            w[:, :, :, c0:c1],
+            scale[c0:c1] if scale is not None else None,
+            shift[c0:c1] if shift is not None else None,
+            bias if with_consts else None,
+            relu_g, interpret, tiles,
+            out_dtype=out_dtype, emit_stats=stats_g,
+        )
+
+    if Cg == Cin:
+        res = grp(0, True, relu, jnp.bfloat16, stats_g=emit_stats)
+        if emit_stats:
+            out, stats = res
+            return out[:Z], stats
+        return res[:Z]
+    # fp32 group outputs keep the cross-group sum at full precision; the
+    # single bf16 rounding happens after the sum, like the XLA lowering
+    parts = [
+        grp(c0, c0 == 0, False, jnp.float32) for c0 in range(0, Cin, Cg)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out = out.astype(jnp.bfloat16)[:Z]
+    if emit_stats:
+        return out, _xla_out_stats_flat(out)
+    return out
+
+
 def _conv_pallas(x, w, scale, shift, bias, relu, interpret, emit_stats=False):
     """x: (Z, Cin, Y, X) -> (Z, Cout, Y, X). Shapes pre-checked.
 
-    Cin beyond the VMEM budget splits into independent channel groups at
-    the JAX level (one single-group kernel call each, summed here): the
-    in-kernel accumulate-across-revisits formulation crashes the tunnel's
-    server-side Mosaic build, and the host-side sum costs only one fused
-    elementwise pass per extra group.
+    Default path: flatten (y, x) into lanes once and run the in-kernel-halo
+    kernel (_kernel_flat) — no padded copy of the volume.
+    KM_NO_CONV_FLAT=1 falls back to the padded-copy kernel (_kernel).
+    Cin beyond the VMEM budget splits into independent channel-group calls
+    summed at the JAX level (in-kernel accumulate-across-revisits crashes
+    the tunnel's Mosaic build).
     """
     Z, Cin, Y, X = (int(s) for s in x.shape)
     Cout = int(w.shape[-1])
+    if os.environ.get("KM_NO_CONV_FLAT") != "1":
+        xf = x.reshape(Z, Cin, Y * X)
+        res = _conv_pallas_flat(
+            xf, (Z, Y, X), w, scale, shift, bias, relu, interpret,
+            emit_stats=emit_stats,
+        )
+        if emit_stats:
+            out, stats = res
+            return out.reshape(Z, Cout, Y, X), stats
+        return res.reshape(Z, Cout, Y, X)
     if Cin < 8:
         # sub-sublane channel counts (the U-Net's 1-channel first conv) hit
         # Mosaic DMA limits; zero-pad channels to one sublane tile. The
@@ -624,6 +965,71 @@ def _conv_bwd(relu, emit_stats, res, g):
 
 
 _conv.defvjp(_conv_fwd, _conv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 6, 7))
+def _conv_flat(xf, spatial, w, scale, shift, bias, relu, emit_stats):
+    return _conv_flat_fwd_impl(xf, spatial, w, scale, shift, bias, relu,
+                               emit_stats)
+
+
+def _conv_flat_fwd_impl(xf, spatial, w, scale, shift, bias, relu, emit_stats):
+    Z, Y, X = spatial
+    Cin = int(xf.shape[1])
+    if (
+        fast_conv_enabled()
+        and os.environ.get("KM_NO_CONV_FLAT") != "1"
+        and _shapes_eligible((Z, Cin, Y, X))
+        and _pick_tiles(max(Cin, 8), int(w.shape[-1]), Y, X) is not None
+    ):
+        interpret = jax.default_backend() == "cpu"
+        return _conv_pallas_flat(
+            xf, spatial, w, scale, shift, bias, relu, interpret,
+            emit_stats=emit_stats,
+        )
+    # fallback: round-trip through the 4-D formulation
+    res = _conv_fwd_impl(
+        xf.reshape(Z, Cin, Y, X), w, scale, shift, bias, relu, emit_stats
+    )
+    if emit_stats:
+        out, stats = res
+        return out.reshape(Z, -1, Y * X), stats
+    return res.reshape(Z, -1, Y * X)
+
+
+def _conv_flat_fwd(xf, spatial, w, scale, shift, bias, relu, emit_stats):
+    return (
+        _conv_flat_fwd_impl(xf, spatial, w, scale, shift, bias, relu,
+                            emit_stats),
+        (xf, w, scale, shift, bias),
+    )
+
+
+def _conv_flat_bwd(spatial, relu, emit_stats, res, g):
+    xf, w, scale, shift, bias = res
+    Z, Y, X = spatial
+    x = xf.reshape(Z, -1, Y, X)
+    if emit_stats:
+        g = (g[0].reshape(Z, -1, Y, X), g[1])
+    else:
+        g = g.reshape(Z, -1, Y, X)
+    outs = _conv_bwd(relu, emit_stats, (x, w, scale, shift, bias), g)
+    return (outs[0].reshape(Z, -1, Y * X),) + tuple(outs[1:])
+
+
+_conv_flat.defvjp(_conv_flat_fwd, _conv_flat_bwd)
+
+
+def conv3x3_fused_flat(xf, spatial, w, scale=None, shift=None, bias=None,
+                       relu=True, emit_stats=False):
+    """conv3x3_fused on the flat (Z, Cin, Y*X) lane layout.
+
+    The kernel's native IO form: chained convs (DoubleConv) pass flat
+    tensors between stages so the (Y, X)->lanes relayout (measured
+    1.6-3.3 ms per 256^3 tensor) is paid once per block, not per conv.
+    ``spatial`` is the static (Z, Y, X). Returns flat (Z, Cout, Y*X).
+    """
+    return _conv_flat(xf, spatial, w, scale, shift, bias, relu, emit_stats)
 
 
 def conv3x3_fused(x, w, scale=None, shift=None, bias=None, relu=True,
