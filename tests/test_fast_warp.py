@@ -150,6 +150,7 @@ def test_grad_kernel_smooth_flow(rng):
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_grad_kernel_integral_coords(rng):
     """Exactly-integral sample coordinates: the corner-difference gradient
     needs floor(v)+1 in the band even where the forward hat there is zero
@@ -166,6 +167,7 @@ def test_grad_kernel_integral_coords(rng):
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_grad_kernel_border_ties_and_outside(rng):
     """Far-outside samples (zero grad), exact border ties (0.5x clip factor),
     and clamped-corner collapse at the true top edge all match XLA."""
@@ -189,6 +191,7 @@ def test_grad_kernel_channels_chunking(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_grad_kernel_wild_flow_falls_back(rng):
     src = rng.random((1, 1, 32, 32, 32), dtype=np.float32)
     planes = _smooth_planes(rng, (32, 32, 32))

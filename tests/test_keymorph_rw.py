@@ -98,3 +98,39 @@ def test_rw_translation_affines_match_plain(rw_setup):
     np.testing.assert_allclose(
         np.asarray(res_rw["points_a"]), np.asarray(res_plain["points_a"]), atol=1e-3
     )
+
+
+def test_rw_tps_planes_path_matches_grid_path():
+    """Regression (round-4 VERDICT #7): the planes-native serving variant on
+    a NON-axis-aligned real-world TPS case must agree with the grid path.
+    The hot non-rw TPS path short-circuits to the fused flow kernel
+    (models/keymorph.py align_pair); the rw branch converts grid->planes
+    generically — as the rw planes path evolves, this pins the contract
+    planes == flip(moveaxis(grid, -1, 1), 1)."""
+    from keymorph_tpu.models.keymorph import align_pair
+
+    rng = np.random.default_rng(3)
+    pf = jnp.asarray(rng.uniform(-0.6, 0.6, size=(1, 10, 3)).astype(np.float32))
+    pm = pf + jnp.asarray(0.08 * rng.normal(size=(1, 10, 3)).astype(np.float32))
+    # non-axis-aligned anisotropic affine: rotation + shear + offset
+    th = 0.3
+    aff = np.array(
+        [
+            [1.2 * np.cos(th), -np.sin(th), 0.05, -40.0],
+            [np.sin(th), 0.9 * np.cos(th), 0.0, -55.0],
+            [0.02, 0.0, 2.5, 20.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ],
+        dtype=np.float32,
+    )
+    aff_f = jnp.asarray(aff[None])
+    aff_m = jnp.asarray((aff @ np.diag([1.0, 1.05, 0.95, 1.0]).astype(np.float32))[None])
+    spatial = (12, 12, 12)
+    kw = dict(lmbda=jnp.asarray([0.1]), num_chunks=1, aff_f=aff_f, aff_m=aff_m)
+    res_planes = align_pair(pf, pm, "tps", spatial, compute_grid="planes", **kw)
+    res_grid = align_pair(pf, pm, "tps", spatial, compute_grid=True, **kw)
+    assert "planes" in res_planes and "grid" in res_grid
+    expect = jnp.flip(jnp.moveaxis(res_grid["grid"], -1, 1), axis=1)
+    np.testing.assert_allclose(
+        np.asarray(res_planes["planes"]), np.asarray(expect), atol=1e-5
+    )
