@@ -29,6 +29,7 @@ KILL_SWITCH_ENVS = (
     "KM_NO_CONV_STATS",
     "KM_NO_CONV_SLIDE",
     "KM_NO_CONV_FLAT",
+    "KM_NO_CONV_X64",
     "KM_NO_WARP_GROUP",
     "KM_NO_WARP_GRAD",
     "KM_NO_FAST_CONV",

@@ -305,7 +305,10 @@ def _to_zc(x):  # (Z, Y, X, C) -> (Z, C, Y, X)
 
 def _level_fast(spatial):
     Z, Y, X = spatial
-    return X % 128 == 0 and X >= 128 and Y % 8 == 0
+    # mirror the conv kernel's lane eligibility (includes the 64^3/32^3
+    # deep levels — the whole flagship net then runs channel-first through
+    # the flat kernel, with no channel-last segment or transposes)
+    return conv3d._shapes_eligible((Z, 8, Y, X))
 
 
 def fast_unet_forward(backbone, params: Dict[str, Any], img):

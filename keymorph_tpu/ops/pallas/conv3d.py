@@ -117,7 +117,21 @@ def _pick_tiles(cin, cout, Y, X):
 
 def _shapes_eligible(shape):
     Z, C, Y, X = shape
-    return X % 128 == 0 and X >= 128 and Y % 8 == 0 and Z >= 1
+    if X % 128 == 0 and X >= 128 and Y % 8 == 0 and Z >= 1:
+        return True
+    # Sub-lane-tile X (the U-Net's 64^3/32^3 deep levels): every DMA lane
+    # offset is a multiple of 8*X >= 256 (hinted via pl.multiple_of — the
+    # device-measured kernel runs 112-183 TF at these shapes, vs 33.7 TF
+    # for the channel-last XLA conv+stats fusion it replaces). Flat kernel
+    # only: the padded-copy fallback was never built for X < 128, so the
+    # KM_NO_CONV_FLAT degrade also turns these shapes off.
+    # KM_NO_CONV_X64=1 is the targeted kill-switch.
+    if (
+        os.environ.get("KM_NO_CONV_X64") == "1"
+        or os.environ.get("KM_NO_CONV_FLAT") == "1"
+    ):
+        return False
+    return X in (32, 64) and Y % 8 == 0 and Y >= 8 and Z >= 1
 
 
 def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
@@ -346,27 +360,41 @@ def _kernel_flat(wt_ref, bias_ref, cvec_ref, x_ref, out_ref, *refs, ZB, YB,
         for r in range(r0, r1):
             band[slot, r, :, l0:l1] = jnp.broadcast_to(hneg, (Cg, l1 - l0))
 
-    def issue(step, slot):
+    def copies(step, slot, go):
+        """Run ``go(async_copy)`` under each boundary case's condition —
+        the same branch table serves issue (.start) and wait (.wait): a
+        wait's byte count must match its issued copy."""
         iz = step // n_cells_y
         iy = step % n_cells_y
         for zc, z0, zr, zd in z_cases(iz):
             for yc, y0, yl, yd in y_cases(iy):
                 def _go(z0=z0, zr=zr, zd=zd, y0=y0, yl=yl, yd=yd):
-                    y0h = pl.multiple_of(y0, 128) if not isinstance(
-                        y0, int
-                    ) else y0
-                    pltpu.make_async_copy(
-                        x_ref.at[pl.ds(z0, zr), pl.ds(c0, Cg), pl.ds(y0h, yl)],
-                        band.at[slot, pl.ds(zd, zr), :, pl.ds(yd, yl)],
-                        sem.at[slot],
-                    ).start()
+                    if not isinstance(y0, int):
+                        # lane offsets are k*8*X (X >= 32) — always a
+                        # multiple of 128, but Mosaic can't prove it for
+                        # X < 128 without the hint
+                        y0 = pl.multiple_of(y0, 128)
+                    go(
+                        pltpu.make_async_copy(
+                            x_ref.at[
+                                pl.ds(z0, zr), pl.ds(c0, Cg), pl.ds(y0, yl)
+                            ],
+                            band.at[slot, pl.ds(zd, zr), :, pl.ds(yd, yl)],
+                            sem.at[slot],
+                        )
+                    )
                 cond = zc if yc is None else (yc if zc is None else zc & yc)
                 if cond is None:
                     _go()
                 else:
                     pl.when(cond)(_go)
+
+    def issue(step, slot):
+        copies(step, slot, lambda cp: cp.start())
         # halo fills (disjoint from the DMA's dest region; VPU work that
         # overlaps the copy). Only boundary cells write anything.
+        iz = step // n_cells_y
+        iy = step % n_cells_y
         if n_cz == 1:
             fill_rows(slot, 0, 1, 0, WL)
             fill_rows(slot, Z + 1, ZB + 2, 0, WL)
@@ -391,24 +419,7 @@ def _kernel_flat(wt_ref, bias_ref, cvec_ref, x_ref, out_ref, *refs, ZB, YB,
                 fill_rows(slot, 0, ZB + 2, WL - 8 * X, WL)
 
     def wait(step, slot):
-        # the wait descriptor must match the issued copy's byte count, so
-        # mirror issue()'s branch structure (conditions are pure functions
-        # of the step index — recomputable here)
-        iz = step // n_cells_y
-        iy = step % n_cells_y
-        for zc, z0, zr, zd in z_cases(iz):
-            for yc, y0, yl, yd in y_cases(iy):
-                def _go(z0=z0, zr=zr, zd=zd, y0=y0, yl=yl, yd=yd):
-                    pltpu.make_async_copy(
-                        x_ref.at[pl.ds(z0, zr), pl.ds(c0, Cg), pl.ds(y0, yl)],
-                        band.at[slot, pl.ds(zd, zr), :, pl.ds(yd, yl)],
-                        sem.at[slot],
-                    ).wait()
-                cond = zc if yc is None else (yc if zc is None else zc & yc)
-                if cond is None:
-                    _go()
-                else:
-                    pl.when(cond)(_go)
+        copies(step, slot, lambda cp: cp.wait())
 
     @pl.when(t == 0)
     def _():

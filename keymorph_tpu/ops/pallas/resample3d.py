@@ -198,8 +198,8 @@ def _kernel(*refs, src_spatial,
         n_t = pl.num_programs(0)
 
         def gdma(cell, gs):
-            zc = starts_ref[cell, 0]
-            yc = pl.multiple_of(starts_ref[cell, 1], 8)
+            zc = starts_ref[0, cell]
+            yc = pl.multiple_of(starts_ref[1, cell], 8)
             return pltpu.make_async_copy(
                 src_ref.at[:, pl.ds(zc, GDZ), pl.ds(yc, GYW), :],
                 band.at[gs],
@@ -216,8 +216,8 @@ def _kernel(*refs, src_spatial,
                 gdma(t + 1, (t + 1) % 2).start()
 
             gdma(t, t % 2).wait()
-        z0g = starts_ref[t, 0]
-        y0g = pl.multiple_of(starts_ref[t, 1], 8)
+        z0g = starts_ref[0, t]
+        y0g = pl.multiple_of(starts_ref[1, t], 8)
         gslot = t % 2
     elif ablate != "nodma":
         dma(0, 0, st[0][3], st[0][4]).start()
@@ -864,9 +864,15 @@ def _group_spans(planes, src_spatial, *, nearest):
 
 def _group_starts(planes, src_spatial, pad_spatial, group_windows, *, nearest):
     """Per-cell (z0g, y0g) union band starts for the group-DMA path,
-    (T//_GROUP, 2) int32 — the scalar-prefetch operand. Must mirror the
+    (2, T//_GROUP) int32 — the scalar-prefetch operand. Must mirror the
     kernel's per-sub-tile start computation exactly: clip semantics match
-    because clip/min commute and the group upper bounds are tighter."""
+    because clip/min commute and the group upper bounds are tighter.
+
+    Layout: cells in the MINOR dim. SMEM pads the minor dim to 128 lanes,
+    so the transposed (T//_GROUP, 2) form ballooned to T//_GROUP * 128 s32
+    — exactly 1.00 MiB at 256^3 (2048 cells), overflowing the 1 MiB SMEM
+    budget once the register allocator added spill slots. (2, 2048) is
+    16 KiB."""
     D, H, W = (int(s) for s in planes.shape[1:])
     (BZ, BY, BX), _ = _tile_config()
     Z = src_spatial[0]
@@ -888,7 +894,7 @@ def _group_starts(planes, src_spatial, pad_spatial, group_windows, *, nearest):
     y0 = jnp.clip(
         (jnp.floor(gmin[1]).astype(jnp.int32) // 8) * 8, 0, max(Yp - GYW, 0)
     )
-    return jnp.stack([z0, y0], axis=1)
+    return jnp.stack([z0, y0], axis=0)
 
 
 def _effective_win(win, src_spatial):

@@ -88,8 +88,9 @@ def test_conv_z_not_multiple_of_tile(rng):
 
 
 def test_conv_ineligible_falls_back(rng):
-    """X not a lane multiple routes to XLA (still correct)."""
-    x = _mk(rng, (4, 8, 16, 64))
+    """X outside the kernel's lane set ({32, 64, k*128}) routes to XLA
+    (still correct)."""
+    x = _mk(rng, (4, 8, 16, 48))
     w = _mk(rng, (3, 3, 3, 8, 16)) * 0.1
     _compare(x, w, relu=False, tol=1e-5)
 
