@@ -188,6 +188,91 @@ def make_sharded_register_fn(net: KeyMorphNet, config: Config, mesh: Mesh,
     return fn
 
 
+def make_spatial_register_fn(net: KeyMorphNet, config: Config, mesh: Mesh,
+                             transform_type: Optional[str] = None):
+    """ONE registration spatially sharded over the mesh 'space' axis — the
+    single-pair LATENCY path (SURVEY §2.5's SP north-star), vs
+    :func:`make_sharded_register_fn`'s pair-throughput fan-out.
+
+    How each stage maps to the mesh:
+
+    * **Extraction** (73% of a single-chip 256³ registration, PERF.md) runs
+      the flax channel-last backbone with both volumes sharded along the
+      leading spatial (Z) axis: XLA's SPMD partitioner inserts the 3³-conv
+      halo exchanges and pool-boundary collectives over ICI. The Pallas
+      conv executor is a ``tpu_custom_call``, which GSPMD cannot spatially
+      partition — this path clones the net with ``fast_extract=False`` (a
+      per-chip-slab Pallas extraction would need in-kernel cross-chip
+      halos; the XLA conv path already gets ~45-59 TF at the deep levels).
+    * **CoM keypoints** reduce over sharded spatial axes (cross-chip
+      psum); keypoints and the TPS/affine solve are tiny and pinned
+      replicated.
+    * **Dense flow** is constrained to 'space' slabs, so the RBF/affine
+      grid math partitions embarrassingly (num_chunks stays 1: the fused
+      TPS-flow kernel is also a custom call — XLA's fused chunkless flow
+      partitions instead).
+    * **Warp** runs under ``shard_map``: each chip executes the Pallas
+      band-DMA kernel on its own output slab. The source volume must be
+      fully resident per chip (band DMAs reach arbitrary source rows), so
+      the moving image is all-gathered once over ICI — 32 MB bf16 at 256³,
+      ~100 µs-scale on a v5e pod slice.
+
+    Returns fn(params, img_f, img_m) -> (img_a, grid, points_f, points_m).
+    """
+    from jax import shard_map
+
+    align_type, lmbda_spec = parse_transform_type(
+        transform_type or config.transform_type
+    )
+    if align_type == "tps" and not isinstance(lmbda_spec, (int, float)):
+        raise ValueError(
+            f"spatial register needs a numeric TPS lambda (got tps_{lmbda_spec}); "
+            "pass e.g. transform_type='tps_1' for inference"
+        )
+    net = net.clone(fast_extract=False)
+    vol_sh = NamedSharding(mesh, P(None, None, "space"))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def register(params, img_f, img_m):
+        img_f = jax.lax.with_sharding_constraint(img_f, vol_sh)
+        img_m = jax.lax.with_sharding_constraint(img_m, vol_sh)
+        points_f, points_m, weights = net.apply(params, img_f, img_m)
+        points_f = jax.lax.with_sharding_constraint(points_f, repl)
+        points_m = jax.lax.with_sharding_constraint(points_m, repl)
+        lmbda = (
+            jnp.full((img_f.shape[0],), float(lmbda_spec))
+            if align_type == "tps"
+            else None
+        )
+        out = align_pair(
+            points_f, points_m, align_type, img_f.shape[2:],
+            lmbda=lmbda, weights=weights, compute_grid=True,
+        )
+        grid = out["grid"]
+        extra = [None] * (grid.ndim - 2)
+        grid = jax.lax.with_sharding_constraint(
+            grid, NamedSharding(mesh, P(None, "space", *extra))
+        )
+        img_a = shard_map(
+            align_img,
+            mesh=mesh,
+            in_specs=(P(None, "space", *extra), P()),
+            out_specs=P(None, None, "space"),
+            check_vma=False,  # pallas_call emits un-annotated out avals
+        )(grid, img_m)
+        return img_a, grid, points_f, points_m
+
+    def fn(params, img_f, img_m):
+        return register(
+            jax.device_put(params, repl),
+            jax.device_put(img_f, vol_sh),
+            jax.device_put(img_m, vol_sh),
+        )
+
+    return fn
+
+
 def make_sharded_groupwise_fn(net: KeyMorphNet, config: Config, mesh: Mesh,
                               transform_type: str = "affine", num_iters: int = 5):
     """Groupwise mean-keypoint iteration with subjects sharded over 'data'.

@@ -250,3 +250,34 @@ def test_sharded_groupwise_matches_single(setup):
         )["points_a"]
     np.testing.assert_allclose(np.asarray(pts), np.asarray(ref_pts), atol=5e-4)
     np.testing.assert_allclose(np.asarray(aligned), np.asarray(curr), atol=5e-3)
+
+
+def test_spatial_register_matches_single(setup):
+    """The single-pair SP latency path (volumes sharded over 'space',
+    GSPMD conv halos + shard_map'd warp slabs) must reproduce the
+    unsharded registration."""
+    from keymorph_tpu.ops.resample import align_img
+    from keymorph_tpu.parallel.sharded import make_spatial_register_fn
+
+    net, params, imgs_f, imgs_m = setup
+    config = Config(num_keypoints=8, transform_type="tps_1.0")
+    mesh = make_mesh(num_devices=4, data=1, space=4)  # 12 % 4 == 0
+    fn = make_spatial_register_fn(net, config, mesh)
+    img_a, grid, pf, pm = fn(params, imgs_f[:1], imgs_m[:1])
+
+    pf0, pm0, _ = net.clone(fast_extract=False).apply(
+        params, imgs_f[:1], imgs_m[:1]
+    )
+    out = align_pair(
+        pf0, pm0, "tps", imgs_f.shape[2:], lmbda=jnp.ones((1,)),
+        compute_grid=True,
+    )
+    ref = align_img(out["grid"], imgs_m[:1])
+    # sharded conv reductions reorder fp accumulation; ~1e-5 keypoint
+    # deltas amplify through the closed-form TPS solve (grid magnitudes
+    # are O(5) on random nets whose points nearly collapse)
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(pf0), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(grid), np.asarray(out["grid"]), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(ref), atol=1e-2)
