@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--weighted_kp_align", type=str, default=None)
     p.add_argument("--seed", type=int, default=23)
     p.add_argument("--num_subgrids", type=int, default=4)
+    p.add_argument("--num_tps_centers", type=int, default=None,
+                   help="Approximate-TPS serving: use only the first S "
+                        "keypoints as RBF centers (O(S)/voxel flow; for "
+                        "num_keypoints >= 256)")
     p.add_argument("--group_size", type=int, default=8)
     p.add_argument("--early_stop_eval_subjects", type=int, default=None)
     p.add_argument("--use_amp", action="store_true")
@@ -91,6 +95,7 @@ def main(argv=None):
         align_keypoints_in_real_world_coords=args.align_keypoints_in_real_world_coords,
         weighted_kp_align=args.weighted_kp_align,
         num_subgrids=args.num_subgrids,
+        num_tps_centers=args.num_tps_centers,
         use_amp=args.use_amp,
         dim=args.dim,
         seed=args.seed,

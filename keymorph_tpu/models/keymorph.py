@@ -205,6 +205,7 @@ def align_pair(
     aff_f=None,
     aff_m=None,
     moving_shape: Optional[Sequence[int]] = None,
+    tps_centers: Optional[int] = None,
 ):
     """Fit the requested transform and produce flow grid / matrices / points.
 
@@ -221,6 +222,12 @@ def align_pair(
     Returns a dict with keys among {"grid", "matrix", "points_a"}.
     `grid` is `xy`-ordered, shaped (B, *grid_shape, dim) — the reference's
     result contract (model.py:264-288).
+
+    ``tps_centers=S`` (TPS only) switches to the approximate-TPS serving
+    solver: least-squares fit against the first S keypoints as RBF centers,
+    making every downstream flow/point evaluation O(S) instead of O(K) —
+    for large keypoint counts (K >= 256). Composes with both the planes
+    path and the chunked grid path.
 
     ``compute_grid="planes"`` is the planes-native serving variant: instead
     of ``out["grid"]`` it produces ``out["planes"]`` — `ij`-ordered (B, 3,
@@ -280,21 +287,38 @@ def align_pair(
             out["points_a"] = pa
     elif align_type == "tps":
         assert lmbda is not None
-        inv_theta = solvers.fit_tps(pf, pm, lmbda, weights)
+        # approximate-TPS serving mode (reference's ApproximateTPS intent,
+        # keypoint_aligners.py:468-590 — carried there as a commented-out
+        # experiment): fit against only the first `tps_centers` RBF centers
+        # by least squares, so the dense-flow contraction scales O(S) per
+        # voxel instead of O(K) — the lever for K >= 256 keypoint serving.
+        # Callers pick the subset by permuting keypoints beforehand.
+        approx = tps_centers is not None and int(tps_centers) < pf.shape[1]
+        if approx:
+            S = int(tps_centers)
+            inv_theta = solvers.fit_tps_approximate(pf, pm, lmbda, S, weights)
+            ctrl = pf[:, :S]
+        else:
+            inv_theta = solvers.fit_tps(pf, pm, lmbda, weights)
+            ctrl = pf
         if compute_grid and want_planes and not rw:
             from keymorph_tpu.ops.pallas import tpsflow
 
-            out["planes"] = tpsflow.tps_planes(inv_theta, pf, spatial)
+            out["planes"] = tpsflow.tps_planes(inv_theta, ctrl, spatial)
         elif compute_grid:
             # chunked evaluation marks the inference path (training uses
             # num_chunks=1 and needs native autodiff); num_chunks > 1
             # dispatches the fused Pallas flow kernel where eligible
             # (solvers.tps_eval_chunked).
-            moved = solvers.tps_eval_chunked(inv_theta, pf, _grid_flat(), num_chunks)
+            moved = solvers.tps_eval_chunked(inv_theta, ctrl, _grid_flat(), num_chunks)
             _store_grid(_finish_grid(moved))
         if compute_aligned_points:
-            theta = solvers.fit_tps(pm, pf, lmbda, weights)
-            pa = solvers.tps_eval(theta, pm, pm)
+            if approx:
+                theta = solvers.fit_tps_approximate(pm, pf, lmbda, S, weights)
+                pa = solvers.tps_eval(theta, pm[:, :S], pm)
+            else:
+                theta = solvers.fit_tps(pm, pf, lmbda, weights)
+                pa = solvers.tps_eval(theta, pm, pm)
             if rw:
                 pa = Coords.convert_points_real2norm(pa, aff_f, spatial)
             out["points_a"] = pa
@@ -390,6 +414,7 @@ class KeyMorph:
         align_keypoints_in_real_world_coords: bool = False,
         max_rand_tps_lmbda: float = 10.0,
         num_subgrids: int = 4,
+        num_tps_centers: Optional[int] = None,
     ):
         assert weight_keypoints in (None, "variance", "power")
         self.net = KeyMorphNet(
@@ -409,6 +434,12 @@ class KeyMorph:
         self.align_keypoints_in_real_world_coords = align_keypoints_in_real_world_coords
         self.max_rand_tps_lmbda = max_rand_tps_lmbda
         self.num_subgrids = num_subgrids
+        # serving-only approximate-TPS: evaluate the spline with only the
+        # first `num_tps_centers` RBF centers (solvers.fit_tps_approximate —
+        # the reference's ApproximateTPS intent, keypoint_aligners.py:468-590).
+        # The lever for K >= 256 keypoints; training always uses the exact
+        # solver (it already bounds cost via max_train_keypoints).
+        self.num_tps_centers = num_tps_centers
         self.params = None
         self.training = False
         self._extract_jit = None
@@ -466,11 +497,15 @@ class KeyMorph:
 
     is_supported_transform_type = staticmethod(is_supported_transform_type)
 
-    def _get_align_fn(self, align_type, spatial_f, spatial_m, rw, num_chunks, ret_pts):
+    def _get_align_fn(
+        self, align_type, spatial_f, spatial_m, rw, num_chunks, ret_pts,
+        tps_centers=None,
+    ):
         """Cached jitted alignment program: fit + grid (+ matrix, + points_a)
         in ONE device dispatch. Replaces the eager aligner-object path for
         the forward contract; wrappers remain the public aligner API."""
-        key = (align_type, spatial_f, spatial_m, rw, num_chunks, ret_pts)
+        key = (align_type, spatial_f, spatial_m, rw, num_chunks, ret_pts,
+               tps_centers)
         if key in self._align_cache:
             return self._align_cache[key]
 
@@ -488,6 +523,7 @@ class KeyMorph:
                 aff_f=aff_f if rw else None,
                 aff_m=aff_m if rw else None,
                 moving_shape=spatial_m,
+                tps_centers=tps_centers,
             )
 
         jitted = jax.jit(fn)
@@ -554,6 +590,11 @@ class KeyMorph:
                 )
 
             num_chunks = 1 if self.training else self.num_subgrids
+            tps_centers = (
+                self.num_tps_centers
+                if align_type == "tps" and not self.training
+                else None
+            )
             align_fn = self._get_align_fn(
                 align_type,
                 tuple(img_f.shape[2:]),
@@ -561,6 +602,7 @@ class KeyMorph:
                 rw,
                 num_chunks,
                 return_aligned_points,
+                tps_centers,
             )
             aligned = align_fn(p_f, p_m, w, tps_lmbda, aff_f, aff_m)
             jax.block_until_ready(aligned["grid"])

@@ -958,6 +958,15 @@ def fast_warp_enabled():
 _BAND_VMEM_BUDGET = 4 * 2**20
 
 
+def _band_vmem_budget():
+    """KM_BAND_VMEM_MB sweeps the channel-scaled VMEM budget (device
+    measurement knob for the group path's per-channel cost — the group band
+    is ~2.6 MiB/channel at Xp=256, which chunks multi-channel seg warps to
+    cb=1 under the 4 MiB default; see tools/warp_channels_bench.py)."""
+    mb = os.environ.get("KM_BAND_VMEM_MB")
+    return int(float(mb) * 2**20) if mb else _BAND_VMEM_BUDGET
+
+
 def _max_band_channels(src_spatial, win=None, group_win=None, grad=False):
     Z, Y, X = src_spatial
     (BZ, BY, BX), ladder = _tile_config()
@@ -982,7 +991,7 @@ def _max_band_channels(src_spatial, win=None, group_win=None, grad=False):
     per_channel = (
         band_elems + R * Xp + 2 * R * XW + B * (2 * mm_out * XW + 2 * _GROUP)
     ) * 4
-    return max(1, _BAND_VMEM_BUDGET // per_channel)
+    return max(1, _band_vmem_budget() // per_channel)
 
 
 def _xla_warp(img, planes, mode):

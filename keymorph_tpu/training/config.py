@@ -36,6 +36,9 @@ class Config:
     # early_stop_eval_subjects are the live knobs.
     max_train_tps_lmbda: float = 10.0
     num_subgrids: int = 4
+    # serving-only approximate TPS: first-S RBF centers, least-squares fit
+    # (the reference's commented ApproximateTPS, keypoint_aligners.py:468-590)
+    num_tps_centers: Optional[int] = None
     max_random_affine_augment_params: Tuple[float, float, float, float] = (
         0.0, 0.0, 0.0, 0.0,
     )
@@ -177,4 +180,5 @@ def build_model(config: Config):
         align_keypoints_in_real_world_coords=config.align_keypoints_in_real_world_coords,
         max_rand_tps_lmbda=config.max_train_tps_lmbda,
         num_subgrids=config.num_subgrids,
+        num_tps_centers=config.num_tps_centers,
     )

@@ -133,7 +133,14 @@ class TPS:
         aff_f=None,
         shape_m=None,
         shape_f=None,
+        num_centers=None,
     ):
+        """``num_centers=S`` selects the approximate-TPS solver
+        (solvers.fit_tps_approximate — the reference's ApproximateTPS
+        intent, keypoint_aligners.py:468-590): the spline carries only the
+        first S keypoints as RBF centers, so flow/point evaluation is O(S)
+        per query instead of O(K). Permute the keypoints beforehand to
+        choose the subset."""
         self.dim = dim
         self.num_subgrids = num_subgrids
         self.use_checkpoint = use_checkpoint
@@ -153,30 +160,47 @@ class TPS:
             self.points_m = _real_world_points(self.points_m, self.aff_m, shape_m)
             self.points_f = _real_world_points(self.points_f, self.aff_f, shape_f)
 
-        fit = solvers.fit_tps
+        K = self.points_f.shape[1]
+        self.num_centers = (
+            int(num_centers) if num_centers is not None and int(num_centers) < K
+            else None
+        )
+        if self.num_centers is not None:
+            import functools
+
+            fit = functools.partial(
+                solvers.fit_tps_approximate, num_subsample=self.num_centers
+            )
+        else:
+            fit = solvers.fit_tps
         if use_checkpoint:
             import jax
 
-            fit = jax.checkpoint(solvers.fit_tps)
+            fit = jax.checkpoint(fit)
         self._fit = fit
-        self.inverse_theta = fit(self.points_f, self.points_m, self.lmbda, w)
+        S = self.num_centers
+        self.ctrl_f = self.points_f[:, :S] if S is not None else self.points_f
+        self.ctrl_m = self.points_m[:, :S] if S is not None else self.points_m
+        self.inverse_theta = fit(self.points_f, self.points_m, self.lmbda, w=w)
         self.theta = None  # forward spline fitted on demand
 
     # -- point transport ----------------------------------------------------
     def get_inverse_transformed_points(self, points):
         if self.align_in_real_world_coords:
             points = _real_world_points(points, self.aff_f, self.shape_f)
-        points = solvers.tps_eval(self.inverse_theta, self.points_f, points)
+        points = solvers.tps_eval(self.inverse_theta, self.ctrl_f, points)
         if self.align_in_real_world_coords:
             points = C.convert_points_real2norm(points, self.aff_m, self.shape_m)
         return points
 
     def get_forward_transformed_points(self, points):
         if self.theta is None:
-            self.theta = self._fit(self.points_m, self.points_f, self.lmbda, self.weights)
+            self.theta = self._fit(
+                self.points_m, self.points_f, self.lmbda, w=self.weights
+            )
         if self.align_in_real_world_coords:
             points = _real_world_points(points, self.aff_m, self.shape_m)
-        points = solvers.tps_eval(self.theta, self.points_m, points)
+        points = solvers.tps_eval(self.theta, self.ctrl_m, points)
         if self.align_in_real_world_coords:
             points = C.convert_points_real2norm(points, self.aff_f, self.shape_f)
         return points
@@ -199,11 +223,11 @@ class TPS:
             # conversions are cheap; chunking only matters for the spline
             pts = _real_world_points(grid_flat, self.aff_f, self.shape_f)
             moved = solvers.tps_eval_chunked(
-                self.inverse_theta, self.points_f, pts, num_chunks
+                self.inverse_theta, self.ctrl_f, pts, num_chunks
             )
             moved = C.convert_points_real2norm(moved, self.aff_m, self.shape_m)
         else:
             moved = solvers.tps_eval_chunked(
-                self.inverse_theta, self.points_f, grid_flat, num_chunks
+                self.inverse_theta, self.ctrl_f, grid_flat, num_chunks
             )
         return jnp.flip(moved.reshape(B, *spatial, self.dim), axis=-1)

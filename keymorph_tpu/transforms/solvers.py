@@ -258,11 +258,20 @@ def fit_tps_approximate(c_src, c_dst, lmbda, num_subsample, w=None):
         axis=-2,
     )  # (B, T+d+1, S+d+1)
     v = jnp.concatenate([c_dst, jnp.zeros((B, d + 1, d), jnp.float32)], axis=-2)
-    # normal equations (A^T A) x = A^T v — batched, jit-safe
-    AtA = jnp.einsum("bni,bnj->bij", A, A, precision=_PREC)
-    Atv = jnp.einsum("bni,bnd->bid", A, v, precision=_PREC)
-    AtA = AtA + 1e-8 * jnp.eye(AtA.shape[-1], dtype=jnp.float32)
-    return jnp.linalg.solve(AtA, Atv)  # (B, S+d+1, d)
+    # Least squares via batched QR. Normal equations square the condition
+    # number: near-duplicate CoM keypoints reach cond(A^T A) ~ 4e5, where the
+    # f32 solve loses most of the mantissa (measured 6e-3 grid error between
+    # two XLA fusions of the SAME system). The ridge rides as sqrt(mu)*I rows
+    # appended to A (equivalent regularization, un-squared conditioning).
+    n = A.shape[-1]
+    ridge = jnp.float32(1e-4) * jnp.eye(n, dtype=jnp.float32)  # mu = 1e-8
+    A_aug = jnp.concatenate(
+        [A, jnp.broadcast_to(ridge, (B, n, n))], axis=-2
+    )
+    v_aug = jnp.concatenate([v, jnp.zeros((B, n, d), jnp.float32)], axis=-2)
+    Q, R = jnp.linalg.qr(A_aug)  # reduced: Q (B, M, n), R (B, n, n)
+    rhs = jnp.einsum("bmi,bmd->bid", Q, v_aug, precision=_PREC)
+    return jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
 
 
 def tps_eval_chunked(theta, ctrl, points, num_chunks=4):

@@ -191,3 +191,86 @@ def test_keymorph_residual_backbone_end_to_end(rng):
         assert r["grid"].shape == (1, 12, 12, 12, 3)
         assert np.isfinite(np.asarray(r["grid"])).all()
         assert (np.abs(np.asarray(r["points_f"])) <= 1).all()
+
+
+def test_align_pair_tps_centers_grid_and_planes(rng):
+    """align_pair(tps_centers=S): the grid comes from the S-center
+    approximate spline, and the planes serving path agrees with the grid
+    path under the same approximation."""
+    from keymorph_tpu.models.keymorph import align_pair
+    from keymorph_tpu.transforms import solvers
+    from keymorph_tpu.ops import coords as C
+
+    pf = jnp.asarray(rng.uniform(-0.6, 0.6, size=(1, 20, 3)).astype(np.float32))
+    pm = pf + jnp.asarray(0.07 * rng.normal(size=(1, 20, 3)).astype(np.float32))
+    spatial = (8, 8, 8)
+    lmbda = jnp.asarray([0.1])
+    S = 12
+    res = align_pair(
+        pf, pm, "tps", spatial, lmbda=lmbda, num_chunks=1,
+        compute_aligned_points=True, tps_centers=S,
+    )
+    theta = solvers.fit_tps_approximate(pf, pm, lmbda, S)
+    pts = jnp.broadcast_to(C.flat_norm_grid(spatial), (1, 512, 3))
+    moved = solvers.tps_eval(theta, pf[:, :S], pts)
+    expect = np.asarray(jnp.flip(moved.reshape(1, *spatial, 3), axis=-1))
+    np.testing.assert_allclose(np.asarray(res["grid"]), expect, atol=1e-5)
+    assert res["points_a"].shape == (1, 20, 3)
+
+    res_planes = align_pair(
+        pf, pm, "tps", spatial, lmbda=lmbda, num_chunks=1,
+        compute_grid="planes", tps_centers=S,
+    )
+    expect_planes = jnp.flip(jnp.moveaxis(res["grid"], -1, 1), axis=1)
+    np.testing.assert_allclose(
+        np.asarray(res_planes["planes"]), np.asarray(expect_planes), atol=2e-4
+    )
+    # S >= K must reduce to the exact path
+    res_exact = align_pair(pf, pm, "tps", spatial, lmbda=lmbda, num_chunks=1)
+    res_full = align_pair(
+        pf, pm, "tps", spatial, lmbda=lmbda, num_chunks=1, tps_centers=20
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_full["grid"]), np.asarray(res_exact["grid"]), atol=1e-6
+    )
+
+
+def test_keymorph_num_tps_centers_serving(rng):
+    """KeyMorph(num_tps_centers=S) applies the approximate solver at serving
+    time only; training keeps the exact fit."""
+    backbone = UNet3D(out_channels=16, f_maps=2, num_levels=2)
+    km = KeyMorph(
+        backbone=backbone, num_keypoints=16, dim=3, num_tps_centers=8,
+        max_train_keypoints=None,
+    )
+    img = jnp.zeros((1, 1, 12, 12, 12))
+    km.init_params(jax.random.PRNGKey(0), img)
+    img_f = jnp.asarray(rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32))
+    img_m = jnp.asarray(rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32))
+
+    res = km(img_f, img_m, transform_type="tps_0.1")["tps_0.1"]
+    assert res["grid"].shape == (1, 12, 12, 12, 3)
+
+    # the serving grid equals the approximate composition on its keypoints
+    from keymorph_tpu.models.keymorph import align_pair
+
+    expect = align_pair(
+        res["points_f"], res["points_m"], "tps", (12, 12, 12),
+        lmbda=jnp.asarray([0.1]), num_chunks=km.num_subgrids, tps_centers=8,
+    )["grid"]
+    np.testing.assert_allclose(
+        np.asarray(res["grid"]), np.asarray(expect), atol=5e-4
+    )
+
+    # training mode: exact solver (different grid unless S-center spline
+    # happens to coincide — it must match the EXACT composition instead)
+    km.train()
+    res_t = km(img_f, img_m, transform_type="tps_0.1")["tps_0.1"]
+    expect_t = align_pair(
+        res_t["points_f"], res_t["points_m"], "tps", (12, 12, 12),
+        lmbda=jnp.asarray([0.1]), num_chunks=1,
+    )["grid"]
+    np.testing.assert_allclose(
+        np.asarray(res_t["grid"]), np.asarray(expect_t), atol=5e-4
+    )
+    km.eval()

@@ -341,3 +341,65 @@ def test_real_world_affine_aligner_roundtrip(rng):
     a = np.asarray(plain.get_forward_transformed_points(jnp.asarray(q)))
     b = np.asarray(rw.get_forward_transformed_points(jnp.asarray(q)))
     np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+# -- approximate-TPS serving mode (reference's commented ApproximateTPS,
+#    keypoint_aligners.py:468-590; ours is a working least-squares solver) --
+
+
+def test_tps_aligner_num_centers_transport(rng):
+    """TPS(num_centers=S) must evaluate the spline with the S-center theta in
+    BOTH transport directions (the forward fit lazily re-fits with the same
+    approximate solver — regression for the partial/positional-arg wiring)."""
+    p_m = rng.uniform(-0.6, 0.6, size=(1, 24, 3)).astype(np.float32)
+    A = (np.eye(3) + 0.05 * rng.normal(size=(3, 3))).astype(np.float32)
+    p_f = (p_m @ A.T).astype(np.float32)
+    S = 16
+    alg = TPS(
+        points_m=jnp.asarray(p_m),
+        points_f=jnp.asarray(p_f),
+        lmbda=jnp.full((1,), 0.05),
+        num_centers=S,
+    )
+    assert alg.inverse_theta.shape == (1, S + 4, 3)
+    q = rng.uniform(-0.7, 0.7, size=(1, 12, 3)).astype(np.float32)
+    fwd = np.asarray(alg.get_forward_transformed_points(jnp.asarray(q)))
+    np.testing.assert_allclose(fwd, q @ A.T, atol=3e-2)
+    back = np.asarray(alg.get_inverse_transformed_points(jnp.asarray(q @ A.T)))
+    np.testing.assert_allclose(back, q, atol=3e-2)
+    # S >= K degrades to the exact solver
+    exact = TPS(
+        points_m=jnp.asarray(p_m),
+        points_f=jnp.asarray(p_f),
+        lmbda=jnp.full((1,), 0.05),
+        num_centers=24,
+    )
+    assert exact.num_centers is None
+    assert exact.inverse_theta.shape == (1, 24 + 4, 3)
+
+
+def test_tps_aligner_num_centers_flow_matches_solver(rng):
+    """The aligner's dense flow with num_centers=S equals the direct
+    fit_tps_approximate + tps_eval composition on the S-center subset."""
+    p_m = rng.uniform(-0.5, 0.5, size=(1, 20, 3)).astype(np.float32)
+    p_f = (p_m + 0.06 * rng.normal(size=(1, 20, 3))).astype(np.float32)
+    lmbda = jnp.full((1,), 0.1)
+    S = 12
+    alg = TPS(
+        points_m=jnp.asarray(p_m),
+        points_f=jnp.asarray(p_f),
+        lmbda=lmbda,
+        num_centers=S,
+    )
+    grid = np.asarray(alg.get_flow_field((1, 1, 5, 6, 7), compute_on_subgrids=False))
+    assert grid.shape == (1, 5, 6, 7, 3)
+
+    from keymorph_tpu.ops import coords as C
+
+    theta = solvers.fit_tps_approximate(
+        jnp.asarray(p_f), jnp.asarray(p_m), lmbda, S
+    )
+    pts = jnp.broadcast_to(C.flat_norm_grid((5, 6, 7)), (1, 5 * 6 * 7, 3))
+    moved = solvers.tps_eval(theta, jnp.asarray(p_f[:, :S]), pts)
+    expect = np.asarray(jnp.flip(moved.reshape(1, 5, 6, 7, 3), axis=-1))
+    np.testing.assert_allclose(grid, expect, atol=1e-5)
