@@ -274,11 +274,93 @@ def main():
             flows = [solve_flow(pts_f, p, tuple(shape[2:])) for p in pts]
             time_stage("warp", warp, [(f, img_m) for f in flows])
             stages["register_ms"] = round(dt * 1000.0, 2)
+
+            # FLOP-based MFU per stage against the v5e roofline (VERDICT r4
+            # #4): useful-math FLOPs (keymorph_tpu/tools/flops.py — Pallas
+            # custom calls report 0 to XLA cost_analysis, so these are
+            # analytic). The warp is DMA-bound; its roofline number is
+            # achieved HBM bandwidth against a traffic lower bound.
+            from keymorph_tpu.tools import flops as F
+
+            n_grid = size**3
+            if "extract_ms" in stages:
+                ex_fl = F.unet_extract_flops(
+                    (size,) * 3, num_keypoints, f_maps=32, num_levels=4,
+                    num_truncated_layers=1,
+                )
+                stages["extract_gflop"] = round(ex_fl / 1e9, 1)
+                stages["extract_mfu"] = round(
+                    F.mfu(ex_fl, stages["extract_ms"] / 1e3), 4
+                )
+            if "solve_flow_ms" in stages:
+                fl = F.tps_flow_flops(n_grid, num_keypoints) + F.tps_solve_flops(
+                    num_keypoints
+                )
+                stages["solve_flow_gflop"] = round(fl / 1e9, 1)
+                stages["solve_flow_mfu"] = round(
+                    F.mfu(fl, stages["solve_flow_ms"] / 1e3), 4
+                )
+            if "warp_ms" in stages:
+                wb = F.warp_bytes(n_grid)
+                stages["warp_gb_lower_bound"] = round(wb / 1e9, 2)
+                stages["warp_hbm_frac"] = round(
+                    wb / (stages["warp_ms"] / 1e3) / F.V5E_HBM_BYTES_PER_S, 4
+                )
         except Exception as e:  # noqa: BLE001
             import sys
 
             sys.stderr.write(f"bench: stage attribution failed ({str(e)[:200]})\n")
             stages = None
+
+    # Batched-serving throughput rows (VERDICT r4 #5). Opt-in
+    # (BENCH_THROUGHPUT=1): each batch size is a fresh ~minutes-long tunnel
+    # compile, and keymorph_tpu's measured position is that per-chip
+    # batching of 3D convs scales SUB-linearly on this chip (PERF.md
+    # "Batching") — multi-pair throughput ships via the mesh fan-out. These
+    # rows exist to prove/disprove that with committed numbers.
+    per_batch = None
+    if os.environ.get("BENCH_THROUGHPUT", "0") == "1":
+        per_batch = {"1": {"latency_ms": round(dt * 1000.0, 2),
+                           "regs_per_sec": round(regs_per_sec, 3)}}
+        for bs in (2, 4, 8):
+            bshape = (bs, 1, size, size, size)
+            bf = jax.random.uniform(jax.random.PRNGKey(90), bshape, jnp.float32)
+            bm = jax.random.uniform(jax.random.PRNGKey(91), bshape, jnp.float32)
+            try:
+                jax_block(register(params, bf, bm))
+                import tempfile
+
+                from keymorph_tpu.tools.trace_summary import (
+                    find_trace_file,
+                    summarize_trace,
+                )
+
+                td = tempfile.mkdtemp(prefix=f"bench_b{bs}_")
+                jax.profiler.start_trace(td)
+                for i in range(2):
+                    jax_block(
+                        register(
+                            params,
+                            bf,
+                            jax.random.uniform(
+                                jax.random.PRNGKey(92 + i), bshape, jnp.float32
+                            ),
+                        )
+                    )
+                jax.profiler.stop_trace()
+                rows = summarize_trace(find_trace_file(td), top_n=5)
+                top = [r for r in rows if "register" in r[0] or "jit" in r[0]]
+                if not top:
+                    raise RuntimeError("no trace rows")
+                _, total_ms, count = top[0]
+                bt = total_ms / count / 1000.0
+                per_batch[str(bs)] = {
+                    "latency_ms": round(bt * 1000.0, 2),
+                    "regs_per_sec": round(bs / bt, 3),
+                }
+            except Exception as e:  # noqa: BLE001
+                per_batch[str(bs)] = {"error": str(e)[:160]}
+                break  # larger batches only get worse (compile OOM)
 
     baseline = None
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
@@ -305,6 +387,7 @@ def main():
                 "degraded": degraded,
                 "kill_switches": active_kill_switches(),
                 "stages": stages,
+                "per_batch": per_batch,
             }
         )
     )

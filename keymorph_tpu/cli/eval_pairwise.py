@@ -128,6 +128,13 @@ def run_eval(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         batch_sh = NamedSharding(mesh, P("data"))
+        # model.forward runs GSPMD-partitioned over the 'data'-sharded
+        # batch: its jitted programs (fused conv extraction, fused TPS
+        # flow) must not contain Pallas custom calls — no partitioning
+        # rule exists for tpu_custom_call. The warp below instead keeps
+        # its kernel by running under shard_map.
+        if hasattr(registration_model, "set_allow_pallas"):
+            registration_model.set_allow_pallas(False)
         # per-device warp: each chip runs the (Pallas) resampler on its own
         # pair shard — GSPMD cannot partition the tpu_custom_call itself,
         # but under shard_map every device traces a local batch-slice call

@@ -186,6 +186,36 @@ class KeyMorphNet(nn.Module):
             weights = None
         return points_f, points_m, weights
 
+    def pair_ranked_by_mass(self, img_f, img_m):
+        """Pair extraction with keypoints permuted by DESCENDING joint
+        heatmap mass (the weight_by_power statistic, un-normalized).
+
+        Serving aid for approximate TPS: ``solvers.fit_tps_approximate``
+        takes the FIRST S keypoints as RBF centers, so channel order is the
+        center-selection policy. The reference experiment subsamples centers
+        by choice (keypoint_aligners.py:495-499); arbitrary channel order
+        (round-4 state) wastes that choice — high-mass channels are the
+        confident, well-localized keypoints.
+        """
+        points_f, feat_f = self.get_keypoints(img_f, return_feat=True)
+        points_m, feat_m = self.get_keypoints(img_m, return_feat=True)
+        if self.weight_keypoints == "variance":
+            weights = self.weight_by_variance(feat_f, feat_m)
+        elif self.weight_keypoints == "power":
+            weights = self.weight_by_power(feat_f, feat_m)
+        else:
+            weights = None
+        axes = tuple(range(1, feat_f.ndim - 1))
+        mass = jnp.sum(jax.nn.relu(feat_f.astype(jnp.float32)), axis=axes) * jnp.sum(
+            jax.nn.relu(feat_m.astype(jnp.float32)), axis=axes
+        )  # (B, K)
+        order = jnp.argsort(-mass, axis=1)
+        points_f = jnp.take_along_axis(points_f, order[..., None], axis=1)
+        points_m = jnp.take_along_axis(points_m, order[..., None], axis=1)
+        if weights is not None:
+            weights = jnp.take_along_axis(weights, order, axis=1)
+        return points_f, points_m, weights
+
 
 # ---------------------------------------------------------------------------
 # Functional alignment core
@@ -206,6 +236,7 @@ def align_pair(
     aff_m=None,
     moving_shape: Optional[Sequence[int]] = None,
     tps_centers: Optional[int] = None,
+    allow_pallas: bool = True,
 ):
     """Fit the requested transform and produce flow grid / matrices / points.
 
@@ -236,6 +267,14 @@ def align_pair(
     non-real-world TPS path the planes come straight from the fused flow
     kernel (identity grid generated in-kernel, plane-major output): no
     (N, 3) points tensor and no minor-dim-3 transpose ever touch HBM.
+
+    ``allow_pallas=False`` keeps every Pallas kernel (fused TPS flow /
+    planes) out of the traced program — REQUIRED when this function is
+    traced inside a GSPMD-partitioned jit (sharded inputs without
+    shard_map): the tpu_custom_call has no partitioning rule, so GSPMD
+    either fails to partition it or replicates the flow per chip. Same
+    rule as ops/resample.py::grid_sample. shard_map'd callers
+    (parallel/sharded.py) keep the kernels.
     """
     out: Dict[str, Any] = {}
     want_planes = compute_grid == "planes"
@@ -301,7 +340,7 @@ def align_pair(
         else:
             inv_theta = solvers.fit_tps(pf, pm, lmbda, weights)
             ctrl = pf
-        if compute_grid and want_planes and not rw:
+        if compute_grid and want_planes and not rw and allow_pallas:
             from keymorph_tpu.ops.pallas import tpsflow
 
             out["planes"] = tpsflow.tps_planes(inv_theta, ctrl, spatial)
@@ -309,8 +348,13 @@ def align_pair(
             # chunked evaluation marks the inference path (training uses
             # num_chunks=1 and needs native autodiff); num_chunks > 1
             # dispatches the fused Pallas flow kernel where eligible
-            # (solvers.tps_eval_chunked).
-            moved = solvers.tps_eval_chunked(inv_theta, ctrl, _grid_flat(), num_chunks)
+            # (solvers.tps_eval_chunked). allow_pallas=False (GSPMD
+            # callers) takes the chunked XLA formulation; want_planes then
+            # falls through to _store_grid's generic planes conversion.
+            moved = solvers.tps_eval_chunked(
+                inv_theta, ctrl, _grid_flat(), num_chunks,
+                allow_pallas=allow_pallas,
+            )
             _store_grid(_finish_grid(moved))
         if compute_aligned_points:
             if approx:
@@ -355,11 +399,16 @@ def _groupwise_iterate(points, lmbda, weights, *, align_type, num_iters):
     return curr, means[-1]
 
 
-@partial(jax.jit, static_argnames=("align_type", "spatial", "num_chunks"))
+@partial(
+    jax.jit,
+    static_argnames=("align_type", "spatial", "num_chunks", "allow_pallas"),
+)
 def _groupwise_grids(mean_points, pts, lmbda, weights, *, align_type, spatial,
-                     num_chunks):
+                     num_chunks, allow_pallas=True):
     """Dense grids for a chunk of subjects, original points -> group mean,
-    in one dispatch (reference model.py:453-510)."""
+    in one dispatch (reference model.py:453-510). Mesh callers pass
+    ``allow_pallas=False``: `pts` arrives GSPMD-sharded over 'data' and the
+    fused TPS-flow tpu_custom_call has no partitioning rule."""
     return align_pair(
         jnp.broadcast_to(mean_points, pts.shape),
         pts,
@@ -369,6 +418,7 @@ def _groupwise_grids(mean_points, pts, lmbda, weights, *, align_type, spatial,
         weights=weights,
         num_chunks=num_chunks,
         compute_grid=True,
+        allow_pallas=allow_pallas,
     )["grid"]
 
 
@@ -442,10 +492,28 @@ class KeyMorph:
         self.num_tps_centers = num_tps_centers
         self.params = None
         self.training = False
+        # GSPMD rule (ops/resample.py::grid_sample): Pallas tpu_custom_calls
+        # (fused conv extraction, fused TPS flow) have no partitioning rule.
+        # Callers that feed this model GSPMD-sharded inputs (eval mesh
+        # fan-out, groupwise mesh=...) set allow_pallas=False so every
+        # jitted program traced here stays partitionable; shard_map'd
+        # callers (parallel/sharded.py) keep the kernels.
+        self.allow_pallas = True
         self._extract_jit = None
         self._get_keypoints_jit = None
         self._align_cache = {}
         self._rng = jax.random.PRNGKey(0)
+
+    def set_allow_pallas(self, flag: bool):
+        """Toggle Pallas-kernel eligibility for all jitted programs this
+        model builds (see __init__ comment); clears the extraction jit
+        caches so the next call traces the right path."""
+        flag = bool(flag)
+        if flag != self.allow_pallas:
+            self.allow_pallas = flag
+            self._extract_jit = None
+            self._get_keypoints_jit = None
+        return self
 
     # -- param management ---------------------------------------------------
     def init_params(self, rng, example_img):
@@ -470,11 +538,26 @@ class KeyMorph:
         return k
 
     # -- keypoint extraction --------------------------------------------------
+    def _extract_net(self):
+        """The net the jitted extraction programs trace: with allow_pallas
+        off, extraction must not reach the fused Pallas conv executor
+        (fast_unet) — its tpu_custom_call cannot be GSPMD-partitioned."""
+        return self.net if self.allow_pallas else self.net.clone(fast_extract=False)
+
     def _ensure_extract_jit(self):
         if self._extract_jit is None:
-            self._extract_jit = jax.jit(
-                lambda p, f, m: self.net.apply(p, f, m)
-            )
+            net = self._extract_net()
+            if self.num_tps_centers:
+                # approx-TPS serving: emit keypoints mass-ranked so the
+                # first-S RBF centers are the highest-confidence channels
+                # (see KeyMorphNet.pair_ranked_by_mass)
+                self._extract_jit = jax.jit(
+                    lambda p, f, m: net.apply(
+                        p, f, m, method=KeyMorphNet.pair_ranked_by_mass
+                    )
+                )
+            else:
+                self._extract_jit = jax.jit(lambda p, f, m: net.apply(p, f, m))
         return self._extract_jit
 
     def get_keypoints(self, img, return_feat=False):
@@ -482,7 +565,7 @@ class KeyMorph:
         assert self.params is not None, "call init_params first"
         if self._get_keypoints_jit is None:
             self._get_keypoints_jit = jax.jit(
-                partial(self.net.apply, method=KeyMorphNet.get_keypoints),
+                partial(self._extract_net().apply, method=KeyMorphNet.get_keypoints),
                 static_argnames=("return_feat",),
             )
         return self._get_keypoints_jit(
@@ -504,8 +587,9 @@ class KeyMorph:
         """Cached jitted alignment program: fit + grid (+ matrix, + points_a)
         in ONE device dispatch. Replaces the eager aligner-object path for
         the forward contract; wrappers remain the public aligner API."""
+        allow_pallas = self.allow_pallas
         key = (align_type, spatial_f, spatial_m, rw, num_chunks, ret_pts,
-               tps_centers)
+               tps_centers, allow_pallas)
         if key in self._align_cache:
             return self._align_cache[key]
 
@@ -518,6 +602,7 @@ class KeyMorph:
                 lmbda=lmbda,
                 weights=weights,
                 num_chunks=num_chunks,
+                allow_pallas=allow_pallas,
                 compute_grid=True,
                 compute_aligned_points=ret_pts,
                 aff_f=aff_f if rw else None,
@@ -646,6 +731,12 @@ class KeyMorph:
         (optional, mirroring the reference model.py:295-330).
         """
         num_iters = int(kwargs.get("num_iters", 5))
+        if kwargs.get("mesh") is not None:
+            # sharded subject fan-out runs GSPMD-partitioned programs:
+            # extraction and dense grids must avoid Pallas custom calls
+            # (see set_allow_pallas). Sticky for this model instance —
+            # mesh users stay mesh users.
+            self.set_allow_pallas(False)
         log = kwargs.get("log_to_console", False)
         save_results_to_disk = kwargs.get("save_results_to_disk", False)
         save_dir = kwargs.get("save_dir")
@@ -826,6 +917,7 @@ class KeyMorph:
                     align_type=align_type,
                     spatial=tuple(int(s) for s in grid_spatial),
                     num_chunks=self.num_subgrids,
+                    allow_pallas=self.allow_pallas,
                 )[:n_valid]
                 if save_results_to_disk and save_dir:
                     g_host = np.asarray(g)

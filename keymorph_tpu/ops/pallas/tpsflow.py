@@ -272,10 +272,144 @@ def _tps_planes_fwd(theta, ctrl, spatial):
     return _tps_planes(theta, ctrl, spatial), (theta, ctrl)
 
 
+def _bwd_kernel(ctrl_ref, wgt_ref, g_ref, out_ref, *, Tp, NT, spatial):
+    """One (b, tile) cell of the planes backward: partial contractions of
+    the cotangent tile g (8, NT) against the RECOMPUTED RBF block — U never
+    touches HBM in the backward either (the whole point; the XLA VJP would
+    re-materialize the (T, N) matrix: 4.3 GB at 256^3 with T=64).
+
+    out (16, Tp):
+      rows 0..7  = g @ U^T          (rows 0..2 useful -> spline-weight grad)
+      rows 8..15 = pts_aug @ m^T    (m = (wgt^T @ g) * dU/dsq; rows 0..2 =
+                   sum_n m*pts_j, row 3 = sum_n m -> control-point grad)
+    pts_aug rows: 0..2 the identity-grid coords (generated in-kernel like
+    the forward), row 3 ones, rows 4..7 zero.
+    """
+    D, H, W = spatial
+    t = pl.program_id(1)
+    n = t * NT + jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1)
+    rows = []
+    for idx, S in (((n // (H * W)), D), ((n // W) % H, H), (n % W, W)):
+        step = jnp.float32(2.0 / (S - 1)) if S > 1 else jnp.float32(0.0)
+        rows.append(idx.astype(jnp.float32) * step - 1.0)
+    pts_aug = jnp.concatenate(
+        rows + [jnp.ones((1, NT), jnp.float32), jnp.zeros((4, NT), jnp.float32)],
+        axis=0,
+    )  # (8, NT)
+    ctrl = ctrl_ref[0]  # (Tp, 128)
+
+    sq = jnp.zeros((Tp, NT), jnp.float32)
+    for k in range(3):
+        diff = ctrl[:, k : k + 1] - pts_aug[k : k + 1, :]
+        sq = sq + diff * diff
+    r = jnp.sqrt(sq + _EPS_DIST)
+    U = r * r * jnp.log(r + _EPS_LOG)
+    # d U / d sq, from U = r^2 log(r+eps), r = sqrt(sq + eps_d):
+    dUdsq = jnp.log(r + _EPS_LOG) + r / (2.0 * (r + _EPS_LOG))
+
+    g = g_ref[0]  # (8, NT) f32, rows 0..2 the flow cotangent
+
+    def _mm_hilo(lhs, rhs_t):
+        """Exact-ish f32 matmul lhs (8, NT) x rhs_t (Tp, NT)^T -> (8, Tp):
+        bf16 hi/lo stacked on both output dims (Mosaic lowers f32
+        dot_general as a single bf16 pass)."""
+        lh = lhs.astype(jnp.bfloat16)
+        ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+        rh = rhs_t.astype(jnp.bfloat16)
+        rl = (rhs_t - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+        q = jax.lax.dot_general(
+            jnp.concatenate([lh, ll], axis=0),  # (16, NT)
+            jnp.concatenate([rh, rl], axis=0),  # (2Tp, NT)
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (16, 2Tp)
+        return q[:8, :Tp] + q[:8, Tp:] + q[8:, :Tp] + q[8:, Tp:]
+
+    gU = _mm_hilo(g, U)  # (8, Tp)
+
+    # s = wgt^T @ g -> (Tp, NT); K=8 contraction, wgt rows 0..2 nonzero
+    wgt = wgt_ref[0]  # (8, Tp)
+    wh = wgt.astype(jnp.bfloat16)
+    wl = (wgt - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    gh = g.astype(jnp.bfloat16)
+    gl = (g - gh.astype(jnp.float32)).astype(jnp.bfloat16)
+    qs = jax.lax.dot_general(
+        jnp.concatenate([wh, wl], axis=1),  # (8, 2Tp)
+        jnp.concatenate([gh, gl], axis=1),  # (8, 2NT)
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (2Tp, 2NT)
+    s = qs[:Tp, :NT] + qs[:Tp, NT:] + qs[Tp:, :NT] + qs[Tp:, NT:]
+    m = s * dUdsq  # (Tp, NT)
+
+    pm = _mm_hilo(pts_aug, m)  # (8, Tp)
+    out_ref[0, 0] = jnp.concatenate([gU, pm], axis=0)  # (16, Tp)
+
+
+def _tps_planes_bwd_pallas(theta, ctrl, spatial, g):
+    """Assemble (g_theta, g_ctrl) from the per-tile kernel partials plus
+    cheap XLA reductions for the affine rows (pure reads of g — no U)."""
+    B, M, d = theta.shape
+    T = ctrl.shape[1]
+    Tp = _round_up(T, 128)
+    D, H, W = spatial
+    N = D * H * W
+    nt = N // _NT
+
+    ctrl_cols, wgt_t, _ = _pack_params(theta, ctrl, d)
+    # cotangent plane-major (B, 3, D, H, W) -> padded (B, 8, N)
+    g8 = jnp.pad(g.reshape(B, 3, N).astype(jnp.float32), ((0, 0), (0, 5), (0, 0)))
+
+    interpret = jax.default_backend() == "cpu"
+    parts = pl.pallas_call(
+        functools.partial(_bwd_kernel, Tp=Tp, NT=_NT, spatial=(D, H, W)),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, Tp, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Tp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _NT), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 16, Tp), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nt, 16, Tp), jnp.float32),
+        interpret=interpret,
+    )(ctrl_cols, wgt_t, g8)
+
+    acc = jnp.sum(parts, axis=1)  # (B, 16, Tp)
+    g_wgt = jnp.swapaxes(acc[:, :3, :T], 1, 2)  # (B, T, 3)
+    msum = acc[:, 8 + 3, :T]  # (B, T): sum_n m[t, n]
+    mpts = acc[:, 8 : 8 + 3, :T]  # (B, 3, T): sum_n m*pts_j
+    g_ctrl = 2.0 * (
+        ctrl.astype(jnp.float32) * msum[..., None]
+        - jnp.swapaxes(mpts, 1, 2)
+    )  # (B, T, 3)
+
+    # affine rows: plain reductions of g against the separable identity
+    # grid — XLA fuses these into one pass over g (no U involvement)
+    from keymorph_tpu.ops import coords
+
+    gflat = g.reshape(B, 3, N).astype(jnp.float32)
+    pts = coords.flat_norm_grid(spatial).astype(jnp.float32).reshape(N, 3)
+    g_const = jnp.sum(gflat, axis=-1)  # (B, 3)
+    g_lin = jnp.einsum("bkn,nj->bjk", gflat, pts, precision="highest")
+    g_theta = jnp.concatenate(
+        [g_wgt, g_const[:, None, :], g_lin], axis=1
+    )  # (B, T+4, 3)
+    return g_theta.astype(theta.dtype), g_ctrl.astype(ctrl.dtype)
+
+
 def _tps_planes_bwd(spatial, res, g):
     theta, ctrl = res
-    _, vjp = jax.vjp(lambda th, c: _xla_planes(th, c, spatial), theta, ctrl)
-    return vjp(g)
+    D, H, W = (int(s) for s in spatial)
+    N = D * H * W
+    if os.environ.get("KM_NO_FAST_TPS") or N % _NT != 0 or not _backend_ok():
+        _, vjp = jax.vjp(lambda th, c: _xla_planes(th, c, spatial), theta, ctrl)
+        return vjp(g)
+    return _tps_planes_bwd_pallas(theta, ctrl, (D, H, W), g)
 
 
 _tps_planes.defvjp(_tps_planes_fwd, _tps_planes_bwd)

@@ -36,11 +36,68 @@ from keymorph_tpu.training.config import Config
 from keymorph_tpu.training.train import TrainState, make_optimizer
 
 
+def _data_axes(mesh: Mesh):
+    """The data-parallel mesh axes: ('dcn', 'data') on a two-level
+    multi-slice mesh (parallel/mesh.py::make_mesh dcn>1), 'data' otherwise.
+    Batch/subject axes shard over BOTH so the gradient/mean reductions
+    lower hierarchically (ICI within a slice, DCN across slices)."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+
+
 def _grid_spec(mesh: Mesh, ndim: int):
-    """Shard a (B, D, H, W, 3) grid: batch over 'data', first spatial axis
-    over 'space'."""
+    """Shard a (B, D, H, W, 3) grid: batch over the data axes, first
+    spatial axis over 'space'."""
     extra = [None] * (ndim - 2)
-    return NamedSharding(mesh, P("data", "space", *extra))
+    return NamedSharding(mesh, P(_data_axes(mesh), "space", *extra))
+
+
+def _make_sharded_extract(net: KeyMorphNet, mesh: Mesh, method=None):
+    """Keypoint extraction with the batch sharded over 'data', run under
+    ``shard_map`` so the fused Pallas conv executor (fast_unet — a
+    tpu_custom_call with NO GSPMD partitioning rule) traces one LOCAL call
+    per device on its own batch shard. Plain GSPMD extraction (round-4
+    state) either fails to partition the custom call on a real slice or
+    silently replicates it per chip; CPU-mesh tests can't see it because
+    fast_conv_enabled() is False off-TPU.
+
+    Returns fn(params, *imgs) -> same pytree the net method returns
+    (None weights handled: shard_map out_specs can't carry None leaves).
+    """
+    from jax import shard_map
+
+    da = _data_axes(mesh)
+    if method is None:  # pair extraction: (points_f, points_m, weights|None)
+        has_w = net.weight_keypoints is not None
+
+        def _local(p, f, m):
+            pf, pm, w = net.apply(p, f, m)
+            return (pf, pm, w) if has_w else (pf, pm)
+
+        fn = shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(da), P(da)),
+            out_specs=(P(da),) * (3 if has_w else 2),
+            check_vma=False,  # pallas_call emits un-annotated out avals
+        )
+
+        def extract(params, img_f, img_m):
+            outs = fn(params, img_f, img_m)
+            return outs if has_w else (*outs, None)
+
+        return extract
+
+    # single-input method (get_keypoints)
+    def _local1(p, x):
+        return net.apply(p, x, method=method)
+
+    return shard_map(
+        _local1,
+        mesh=mesh,
+        in_specs=(P(), P(da)),
+        out_specs=P(da),
+        check_vma=False,
+    )
 
 
 def make_sharded_train_step(net: KeyMorphNet, config: Config, mesh: Mesh, tx=None):
@@ -50,42 +107,55 @@ def make_sharded_train_step(net: KeyMorphNet, config: Config, mesh: Mesh, tx=Non
     each chip executes the Pallas band-DMA kernel on its own grid slab —
     round 2 fell back to the ~116M elem/s XLA gather here because GSPMD
     cannot partition the tpu_custom_call (VERDICT r2 weak #6)."""
+    import functools
+
     from jax import shard_map
 
-    def _warp_sharded(img, grid):
+    da = _data_axes(mesh)
+
+    def _warp_sharded(img, grid, mode="bilinear"):
         # img (B, C, *S) replicated over 'space'; grid (B, *S, d) sharded
-        # over ('data', 'space'); output follows the grid sharding
+        # over (data axes, 'space'); output follows the grid sharding
         extra = [None] * (grid.ndim - 2)
         return shard_map(
-            align_img,
+            functools.partial(align_img, mode=mode),
             mesh=mesh,
-            in_specs=(P("data", "space", *extra), P("data")),
-            out_specs=P("data", None, "space"),
+            in_specs=(P(da, "space", *extra), P(da)),
+            out_specs=P(da, None, "space"),
             check_vma=False,  # pallas_call emits un-annotated out avals
         )(grid, img)
 
     net = train_extract_net(net)  # fused-kernel extraction unless KM_TRAIN_FAST_EXTRACT=0
+    extract = _make_sharded_extract(net, mesh)
     tx = tx or make_optimizer(config)
     align_type, lmbda_spec = parse_transform_type(config.transform_type)
     use_dice = config.loss_fn == "dice"
     max_params = tuple(config.max_random_affine_augment_params)
-    batch_sh = NamedSharding(mesh, P("data"))
+    batch_sh = NamedSharding(mesh, P(_data_axes(mesh)))
     repl = NamedSharding(mesh, P())
 
     def loss_fn(params, key, img_f, img_m, seg_f, seg_m, aug_scale):
         k_aug, k_lmbda, k_sub = jax.random.split(key, 3)
         if any(p > 0 for p in max_params):
-            if use_dice:
-                img_m, seg_m = augment.random_affine_augment(
-                    k_aug, img_m, seg=seg_m,
-                    max_random_params=max_params, scale_params=aug_scale,
-                )
-            else:
-                img_m = augment.random_affine_augment(
-                    k_aug, img_m, max_random_params=max_params, scale_params=aug_scale
-                )
+            # same param draw as the unsharded step (exact equivalence),
+            # but the augmentation WARP runs under shard_map — inside this
+            # GSPMD-partitioned jit, align_img would otherwise trace the
+            # Pallas warp tpu_custom_call, which has no partitioning rule
+            from keymorph_tpu.transforms.affine import affine_flow
 
-        points_f, points_m, weights = net.apply(params, img_f, img_m)
+            prm = augment.sample_affine_params(
+                k_aug, img_m.shape[0], img_m.ndim - 2, max_params, aug_scale
+            )
+            M = augment.build_affine_matrix(prm, img_m.ndim - 2)
+            aug_flow = affine_flow(jnp.linalg.inv(M), img_m.shape[2:])
+            aug_flow = jax.lax.with_sharding_constraint(
+                aug_flow, _grid_spec(mesh, aug_flow.ndim)
+            )
+            img_m = _warp_sharded(img_m, aug_flow, "bilinear")
+            if use_dice:
+                seg_m = _warp_sharded(seg_m, aug_flow, "nearest")
+
+        points_f, points_m, weights = extract(params, img_f, img_m)
 
         lmbda = None
         if align_type == "tps":
@@ -159,11 +229,12 @@ def make_sharded_register_fn(net: KeyMorphNet, config: Config, mesh: Mesh,
             "distributional lambdas are a training-time feature — pass e.g. "
             "transform_type='tps_1' for inference"
         )
-    batch_sh = NamedSharding(mesh, P("data"))
+    batch_sh = NamedSharding(mesh, P(_data_axes(mesh)))
+    extract = _make_sharded_extract(net, mesh)
 
     @jax.jit
     def register(params, img_f, img_m):
-        points_f, points_m, weights = net.apply(params, img_f, img_m)
+        points_f, points_m, weights = extract(params, img_f, img_m)
         lmbda = (
             jnp.full((img_f.shape[0],), float(lmbda_spec))
             if align_type == "tps"
@@ -286,13 +357,12 @@ def make_sharded_groupwise_fn(net: KeyMorphNet, config: Config, mesh: Mesh,
         raise ValueError(
             f"sharded groupwise needs a numeric TPS lambda (got tps_{lmbda_spec})"
         )
-    subj_sh = NamedSharding(mesh, P("data"))
+    subj_sh = NamedSharding(mesh, P(_data_axes(mesh)))
+    extract = _make_sharded_extract(net, mesh, method=KeyMorphNet.get_keypoints)
 
     @jax.jit
     def run(params, imgs):
-        points = net.apply(
-            params, imgs, method=KeyMorphNet.get_keypoints
-        )  # (N, K, d), subject-sharded
+        points = extract(params, imgs)  # (N, K, d), subject-sharded
         lmbda = (
             jnp.full((imgs.shape[0],), float(lmbda_spec))
             if align_type == "tps"

@@ -11,9 +11,10 @@ Run: python -m keymorph_tpu.tools.make_synthetic_dataset --out DIR \
 
 Writes DIR/img{i}_{mod}.nii.gz, DIR/seg{i}_{mod}.nii.gz and DIR/data.csv in
 the CSVDataset modality schema (img_path,seg_path,mask_path,modality,train);
-the last two subjects per modality are test rows. A second modality applies
-an intensity remap (1 - x)^2 to the same anatomy — multimodal pairs share
-geometry, like IXI T1/T2.
+the last two subjects per modality are test rows. Non-first modalities apply
+distinct monotone intensity remaps to the same anatomy — multimodal pairs
+share geometry, like IXI T1/T2/PD (each modality gets its OWN remap so e.g.
+a T2:PD pair is genuinely cross-modality).
 """
 
 from __future__ import annotations
@@ -41,13 +42,18 @@ def main(argv=None):
     imgs, segs = make_subjects(
         n_subjects=args.n, size=args.size, seed=args.seed
     )
+    # distinct monotone remaps per modality slot (identity for the first)
+    remaps = [
+        lambda x: x,
+        lambda x: (1.0 - x) ** 2,
+        lambda x: np.sqrt(np.clip(x, 0.0, 1.0)) * (1.0 - 0.5 * x),
+        lambda x: np.sin(x * np.pi / 2.0) ** 2,
+    ]
     rows = []
     for i in range(args.n):
         train = i < args.n - args.n_test
-        for mod in args.modalities:
-            img = imgs[i, 0]
-            if mod != args.modalities[0]:
-                img = (1.0 - img) ** 2  # same anatomy, remapped intensities
+        for j, mod in enumerate(args.modalities):
+            img = remaps[j % len(remaps)](imgs[i, 0])
             img_path = os.path.join(args.out, f"img{i}_{mod}.nii.gz")
             seg_path = os.path.join(args.out, f"seg{i}_{mod}.nii.gz")
             save_nifti(img_path, img.astype(np.float32))

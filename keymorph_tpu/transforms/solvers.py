@@ -274,7 +274,7 @@ def fit_tps_approximate(c_src, c_dst, lmbda, num_subsample, w=None):
     return jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
 
 
-def tps_eval_chunked(theta, ctrl, points, num_chunks=4):
+def tps_eval_chunked(theta, ctrl, points, num_chunks=4, allow_pallas=True):
     """Memory-bounded TPS evaluation: process `points` in sequential chunks.
 
     The TPU analog of the reference's ``compute_on_subgrids``
@@ -289,11 +289,16 @@ def tps_eval_chunked(theta, ctrl, points, num_chunks=4):
     instead of XLA's 1.07 GB HBM round-trip at 256^3, so no chunking is
     needed at all. Ineligible shapes (or `KM_NO_FAST_TPS=1`) fall back to
     the chunked XLA formulation below.
+
+    ``allow_pallas=False`` forces the XLA formulation — required inside
+    GSPMD-partitioned programs, where the kernel's tpu_custom_call has no
+    partitioning rule (same rule as ops/resample.py::grid_sample); callers
+    that want the kernel on sharded data must shard_map it instead.
     """
     from keymorph_tpu.ops.pallas import tpsflow
 
     B, N, d = points.shape
-    if num_chunks > 1 and tpsflow.tps_flow_eligible(points):
+    if allow_pallas and num_chunks > 1 and tpsflow.tps_flow_eligible(points):
         # num_chunks > 1 marks the inference flow (training evaluates
         # unchunked and wants native autodiff, keymorph.py ~:269)
         return tpsflow.tps_flow(theta, ctrl, points)

@@ -281,3 +281,101 @@ def test_spatial_register_matches_single(setup):
         np.asarray(grid), np.asarray(out["grid"]), rtol=2e-3, atol=2e-3
     )
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(ref), atol=1e-2)
+
+
+def test_gspmd_mesh_paths_gate_pallas(monkeypatch):
+    """VERDICT r4 #2: with Pallas kernels FORCED eligible, the GSPMD mesh
+    paths (model.forward on 'data'-sharded batches, groupwise
+    _groupwise_grids) must not trace any tpu_custom_call — and must still
+    match the unsharded registration. The kernel entry points are
+    monkeypatched to explode so a regression is a hard failure, not a
+    silent per-chip replication on real hardware."""
+    from keymorph_tpu.models import fast_unet
+    from keymorph_tpu.models.keymorph import KeyMorph
+    from keymorph_tpu.models import UNet3D
+    from keymorph_tpu.ops.pallas import tpsflow
+
+    rng = np.random.default_rng(11)
+    size = (16, 16, 8)  # 2048 grid points -> tps_flow_eligible is True
+
+    def _make_model():
+        m = KeyMorph(
+            backbone=UNet3D(out_channels=8, f_maps=4, num_levels=2),
+            num_keypoints=8,
+            num_subgrids=2,
+        )
+        m.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 1, *size)))
+        return m.eval()
+
+    imgs_f = rng.normal(size=(8, 1, *size)).astype(np.float32)
+    imgs_m = rng.normal(size=(8, 1, *size)).astype(np.float32)
+
+    # unsharded reference FIRST (kernels allowed; interpret mode on CPU)
+    ref = _make_model()(jnp.asarray(imgs_f), jnp.asarray(imgs_m), "tps_1")
+    ref_grid = np.asarray(ref["tps_1"]["grid"])
+
+    # force extraction + flow kernel eligibility, then blow up every Pallas
+    # entry point the gated program must avoid
+    monkeypatch.setenv("KM_FORCE_FAST_CONV", "1")
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel traced inside a GSPMD program")
+
+    monkeypatch.setattr(tpsflow, "tps_flow", boom)
+    monkeypatch.setattr(tpsflow, "tps_planes", boom)
+    monkeypatch.setattr(fast_unet, "fast_unet_forward", boom)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(num_devices=8, space=1)
+    sh = NamedSharding(mesh, P("data"))
+    model = _make_model()
+    model.set_allow_pallas(False)  # what run_eval does when mesh is not None
+    res = model(
+        jax.device_put(imgs_f, sh), jax.device_put(imgs_m, sh), "tps_1"
+    )
+    grid = np.asarray(res["tps_1"]["grid"])
+    assert np.isfinite(grid).all()
+    np.testing.assert_allclose(grid, ref_grid, atol=5e-4)
+
+    # groupwise with mesh auto-gates (sticky set_allow_pallas(False)) even
+    # on a model the caller never toggled
+    gw_model = _make_model()
+    out = gw_model.groupwise_register(
+        imgs_f, transform_type="tps_1", num_iters=2, mesh=mesh,
+        kp_batch=8, grid_batch=8,
+    )["tps_1"]
+    assert not gw_model.allow_pallas
+    assert np.isfinite(np.asarray(out["groupgrids"])).all()
+
+
+def test_dcn_mesh_train_step(setup):
+    """Two-level ('dcn','data','space') mesh: gradient DP across a simulated
+    second slice must produce the same step as the single-level mesh."""
+    from keymorph_tpu.parallel import make_sharded_train_step
+    from keymorph_tpu.training.train import TrainState, make_optimizer
+
+    net, params, imgs_f, imgs_m = setup
+    config = Config(
+        num_keypoints=8, transform_type="affine", loss_fn="mse", lr=1e-4,
+        max_random_affine_augment_params=(0.0, 0.0, 0.0, 0.0),
+    )
+    tx = make_optimizer(config)
+    dummy = jnp.zeros((1,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    flat = make_mesh(num_devices=4, space=1)
+    s1, m1 = make_sharded_train_step(net, config, flat, tx)(
+        TrainState.create(params, tx), key, imgs_f[:4], imgs_m[:4],
+        dummy, dummy, jnp.float32(1.0),
+    )
+
+    dmesh = make_mesh(num_devices=8, dcn=2, space=2)
+    assert dmesh.axis_names == ("dcn", "data", "space")
+    s2, m2 = make_sharded_train_step(net, config, dmesh, tx)(
+        TrainState.create(params, tx), key, imgs_f[:4], imgs_m[:4],
+        dummy, dummy, jnp.float32(1.0),
+    )
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)

@@ -126,3 +126,78 @@ def test_align_pair_planes_end_to_end(rng):
         a = np.asarray(align_img(og["grid"], img))
         b = np.asarray(align_planes(op["planes"], img))
         np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_tps_planes_pallas_bwd_matches_xla_grad(rng):
+    """The Pallas planes backward (VMEM-recomputed RBF block; the 256^3
+    training enabler, VERDICT r4 #3) must match the XLA VJP for BOTH theta
+    and ctrl cotangents, on an eligible shape (interpret mode on CPU)."""
+    theta, ctrl = _fit(rng, B=2, T=24)
+    spatial = (16, 16, 32)  # N = 8192, kernel-eligible
+    cot = jnp.asarray(
+        np.random.default_rng(3).normal(0, 1, (2, 3, *spatial)).astype(np.float32)
+    )
+
+    def run(fn):
+        out, vjp = jax.vjp(fn, theta, ctrl)
+        return out, vjp(cot)
+
+    out_k, (gt_k, gc_k) = run(lambda th, c: tpsflow.tps_planes(th, c, spatial))
+    out_x, (gt_x, gc_x) = run(lambda th, c: tpsflow._xla_planes(th, c, spatial))
+
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-4)
+    scale_t = np.maximum(np.abs(np.asarray(gt_x)).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(gt_k) / scale_t, np.asarray(gt_x) / scale_t, atol=5e-5
+    )
+    scale_c = np.maximum(np.abs(np.asarray(gc_x)).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(gc_k) / scale_c, np.asarray(gc_x) / scale_c, atol=5e-5
+    )
+
+
+def test_train_step_planes_path_matches_grid_path(rng):
+    """make_train_step's TPS planes-native path (fused flow + planes warp)
+    computes the same loss/gradients as the explicit grid formulation."""
+    from keymorph_tpu.models import UNet3D
+    from keymorph_tpu.models.keymorph import KeyMorphNet, align_pair
+    from keymorph_tpu.ops.resample import align_img
+    from keymorph_tpu.training.config import Config
+    from keymorph_tpu.training.train import (
+        TrainState, make_optimizer, make_train_step,
+    )
+    from keymorph_tpu.losses import mse_loss
+
+    net = KeyMorphNet(
+        backbone=UNet3D(out_channels=8, f_maps=4, num_levels=2), num_keypoints=8
+    )
+    config = Config(
+        num_keypoints=8, transform_type="tps_1.0", loss_fn="mse", lr=1e-4,
+        max_random_affine_augment_params=(0.0, 0.0, 0.0, 0.0),
+    )
+    size = (16, 16, 8)  # N = 2048: the planes kernel path is eligible
+    img_f = jnp.asarray(rng.normal(size=(2, 1, *size)).astype(np.float32))
+    img_m = jnp.asarray(rng.normal(size=(2, 1, *size)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), img_f[:1], img_f[:1])
+    tx = make_optimizer(config)
+    dummy = jnp.zeros((1,), jnp.float32)
+
+    step = make_train_step(net, config, tx)
+    s1, m1 = step(
+        TrainState.create(params, tx), jax.random.PRNGKey(5), img_f, img_m,
+        dummy, dummy, jnp.float32(1.0),
+    )
+    assert np.isfinite(float(m1["loss"]))
+
+    # explicit grid-path loss at the same params/keys for comparison
+    key = jax.random.PRNGKey(5)
+    k_aug, k_lmbda, k_sub = jax.random.split(key, 3)
+    from keymorph_tpu.models.keymorph import sample_tps_lmbda
+
+    pf, pm, _ = net.apply(params, img_f, img_m)
+    lmbda = sample_tps_lmbda(k_lmbda, 2, 1.0, 10.0)
+    grid = align_pair(
+        pf, pm, "tps", size, lmbda=lmbda, num_chunks=1, compute_grid=True
+    )["grid"]
+    ref_loss = float(mse_loss(img_f, align_img(grid, img_m)))
+    assert float(m1["loss"]) == pytest.approx(ref_loss, rel=1e-4)

@@ -264,3 +264,38 @@ def test_sharded_train_warp_kernel_path(rng, monkeypatch):
 
     assert np.isfinite(float(m_ker["loss"]))
     assert float(m_ker["loss"]) == pytest.approx(float(m_xla["loss"]), rel=1e-4)
+
+
+def test_sharded_matches_single_device_with_aug(rng):
+    """Sharded train step with ACTIVE augmentation: the param draw happens
+    once on the full batch (same key as the unsharded step) and only the
+    warp runs under shard_map, so the two steps must agree."""
+    from keymorph_tpu.parallel import make_mesh, make_sharded_train_step
+
+    net = _tiny_net()
+    config = Config(
+        num_keypoints=8, transform_type="affine", loss_fn="mse", lr=1e-4,
+        max_random_affine_augment_params=(0.1, 0.1, 0.5, 0.05),
+    )
+    img_f = jnp.asarray(rng.normal(size=(4, 1, 12, 12, 12)).astype(np.float32))
+    img_m = jnp.asarray(rng.normal(size=(4, 1, 12, 12, 12)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), img_f[:1], img_f[:1])
+    tx = make_optimizer(config)
+    dummy = jnp.zeros((1,), jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    single = make_train_step(net, config, tx)
+    s1, m1 = single(
+        TrainState.create(params, tx), key, img_f, img_m, dummy, dummy,
+        jnp.float32(0.7),
+    )
+
+    mesh = make_mesh(num_devices=4, space=1)
+    sharded = make_sharded_train_step(net, config, mesh, tx)
+    s2, m2 = sharded(
+        TrainState.create(params, tx), key, img_f, img_m, dummy, dummy,
+        jnp.float32(0.7),
+    )
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
