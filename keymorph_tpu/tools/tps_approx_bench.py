@@ -81,5 +81,71 @@ def main():
                 print(f"# speedup {label}: {results['exact']/ms:.2f}x")
 
 
+def ranked_fidelity():
+    """first-S vs mass-ranked-S center selection (VERDICT r4 #7).
+
+    Extracts keypoints from a synthetic pair with a K-keypoint net twice —
+    arbitrary channel order (KeyMorphNet.__call__) and heatmap-mass-ranked
+    (pair_ranked_by_mass) — and measures the approximate-TPS flow
+    discrepancy vs the exact K-center flow for both orderings.
+
+    Usage: python -m keymorph_tpu.tools.tps_approx_bench --ranked \
+               [size] [K] [S,S,...]   (defaults 128, 512, 64,128,256)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from keymorph_tpu.models import TruncatedUNet3D
+    from keymorph_tpu.models.keymorph import KeyMorphNet, align_pair
+    from keymorph_tpu.tools.weight_parity import make_subjects
+
+    args = [a for a in sys.argv[2:]]
+    size = int(args[0]) if len(args) > 0 else 128
+    K = int(args[1]) if len(args) > 1 else 512
+    Ss = [int(s) for s in (args[2].split(",") if len(args) > 2 else [64, 128, 256])]
+
+    net = KeyMorphNet(
+        backbone=TruncatedUNet3D(
+            out_channels=K, f_maps=32, num_levels=4, num_truncated_layers=1,
+            dtype=jnp.bfloat16,
+        ),
+        num_keypoints=K,
+        compute_dtype=jnp.bfloat16,
+    )
+    imgs, _ = make_subjects(n_subjects=2, size=size, seed=3)
+    img_f = jnp.asarray(imgs[0:1])
+    img_m = jnp.asarray(imgs[1:2])
+    params = net.init(jax.random.PRNGKey(0), img_f, img_m)
+
+    first = jax.jit(lambda p, f, m: net.apply(p, f, m))(params, img_f, img_m)
+    ranked = jax.jit(
+        lambda p, f, m: net.apply(p, f, m, method=KeyMorphNet.pair_ranked_by_mass)
+    )(params, img_f, img_m)
+    spatial = (size,) * 3
+    lmbda = jnp.asarray([1.0])
+
+    def planes(pf, pm, S):
+        return jax.jit(
+            lambda a, b: align_pair(
+                a, b, "tps", spatial, lmbda=lmbda, num_chunks=8,
+                compute_grid="planes", tps_centers=S,
+            )["planes"]
+        )(pf, pm)
+
+    exact = np.asarray(planes(first[0], first[1], None))
+    print(f"# ranked-fidelity {size}^3 K={K} (exact flow from all K centers)")
+    for S in Ss:
+        for label, (pf, pm, _) in (("first", first), ("ranked", ranked)):
+            d = np.abs(np.asarray(planes(pf, pm, S)) - exact)
+            print(
+                f"S={S:4d} {label:6s}: max|d| {d.max():.5f}  "
+                f"mean|d| {d.mean():.6f} (grid units)"
+            )
+            sys.stdout.flush()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ranked":
+        ranked_fidelity()
+    else:
+        main()

@@ -10,6 +10,10 @@ measures the actual trade on the canonical half-res training config
 informed choice.
 
 Usage: python -m keymorph_tpu.tools.train_step_bench [S]
+Env: KM_TSB_KP (keypoints, default 128; the 256^3 flagship is 256 —
+     reference README.md:187-199), KM_TSB_MODES ("flax,fast" default;
+     "fast" alone for the big configs), KM_TSB_REMAT=1 (U-Net gradient
+     checkpointing, the HBM lever at 256^3).
 """
 
 from __future__ import annotations
@@ -37,16 +41,18 @@ def run_one(S: int, fast: bool):
     )
 
     os.environ["KM_TRAIN_FAST_EXTRACT"] = "1" if fast else "0"
+    kp = int(os.environ.get("KM_TSB_KP", "128"))
+    remat = os.environ.get("KM_TSB_REMAT") == "1"
     net = KeyMorphNet(
         backbone=TruncatedUNet3D(
-            out_channels=128, f_maps=32, num_levels=4, num_truncated_layers=1,
-            dtype=jnp.bfloat16,
+            out_channels=kp, f_maps=32, num_levels=4, num_truncated_layers=1,
+            dtype=jnp.bfloat16, use_checkpoint=remat,
         ),
-        num_keypoints=128,
+        num_keypoints=kp,
         compute_dtype=jnp.bfloat16,
     )
     config = Config(
-        num_keypoints=128,
+        num_keypoints=kp,
         transform_type="tps_loguniform",
         loss_fn="mse",
         max_train_keypoints=64,
@@ -88,8 +94,9 @@ def run_one(S: int, fast: bool):
 
 def main():
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    for fast in (False, True):
-        run_one(S, fast)
+    modes = os.environ.get("KM_TSB_MODES", "flax,fast").split(",")
+    for mode in modes:
+        run_one(S, mode.strip() == "fast")
 
 
 if __name__ == "__main__":
