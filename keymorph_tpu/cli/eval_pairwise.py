@@ -320,6 +320,8 @@ def run_eval(
                 )
 
     def _save_pair_common(entry, aug, img_f, img_m, seg_f, seg_m):
+        if not getattr(args, "save_eval_artifacts", True):
+            return  # metrics JSONs only (full-protocol sweeps: ~25 GB of npys)
         i, mod1_str, mod2_str = entry["i"], entry["mod1_str"], entry["mod2_str"]
         save_dir = entry["save_dir"]
         np.save(save_dir / f"img_f_{i}-{mod1_str}.npy", np.asarray(img_f[0]))
@@ -335,6 +337,8 @@ def run_eval(
             )
 
     def _save_pair_align(entry, aug, align, res, sl, grid_j, img_a_j, seg_a_j):
+        if not getattr(args, "save_eval_artifacts", True):
+            return
         i, mod1_str, mod2_str = entry["i"], entry["mod1_str"], entry["mod2_str"]
         save_dir = entry["save_dir"]
         np.save(

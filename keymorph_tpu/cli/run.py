@@ -32,6 +32,10 @@ def parse_args(argv=None) -> Config:
         default = getattr(defaults, f.name)
         if f.type == "bool" or isinstance(default, bool):
             parser.add_argument(name, action="store_true", default=default)
+            if default is True:  # True-default bools need an off switch
+                parser.add_argument(
+                    f"--no_{f.name}", dest=f.name, action="store_false"
+                )
         elif f.name == "max_random_affine_augment_params":
             parser.add_argument(name, nargs=4, type=float, default=default)
         elif f.name == "img_size":
@@ -130,11 +134,16 @@ def main(argv=None):
         load_path = ckpt.latest_epoch_checkpoint(str(ckpt_dir))
     if load_path:
         payload = ckpt.load_checkpoint(load_path, state_template=state)
-        state = TrainState(
-            params=payload["params"],
-            opt_state=payload["opt_state"],
-            step=jnp.asarray(payload["step"]),
-        )
+        if config.load_weights_only:
+            # pretrain -> train handoff: params only, fresh optimizer/step
+            # (reference script_utils.py:59-81 loads backbone weights only)
+            state = TrainState.create(payload["params"], tx)
+        else:
+            state = TrainState(
+                params=payload["params"],
+                opt_state=payload["opt_state"],
+                step=jnp.asarray(payload["step"]),
+            )
         model.params = state.params
         if config.resume or config.resume_latest:
             start_epoch = int(payload["epoch"]) + 1
@@ -264,6 +273,7 @@ def main(argv=None):
         ea.visualize = config.visualize
         ea.early_stop_eval_subjects = config.early_stop_eval_subjects
         ea.skip_if_completed = config.skip_if_completed
+        ea.save_eval_artifacts = config.save_eval_artifacts
         ea.seg_available = config_seg_available
         ea.dim = config.dim
         aligns = (

@@ -15,6 +15,11 @@ class Config:
     job_name: str = "keymorph"
     save_dir: str = "./output/"
     load_path: Optional[str] = None
+    # restore params only from load_path (fresh optimizer/step) — the
+    # reference's default load semantics: script_utils.py:59-81 loads the
+    # backbone state_dict only; optimizer state is restored only on resume
+    # (run.py:441-456). Use for the pretrain -> train handoff.
+    load_weights_only: bool = False
     resume: bool = False
     resume_latest: bool = False
     visualize: bool = False
@@ -75,6 +80,10 @@ class Config:
     use_checkpoint: bool = False
     use_profiler: bool = False
     skip_if_completed: bool = False
+    # save per-pair .npy artifacts during eval (img/seg/grid/points — the
+    # reference's pairwise_register_eval.py:368-461 layout). Disable for
+    # full-protocol sweeps where only metrics JSONs are wanted (~25 GB).
+    save_eval_artifacts: bool = True
 
     # wandb
     use_wandb: bool = False
