@@ -197,39 +197,57 @@ def _single_conv_cl(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None
     return out.astype(jnp.bfloat16)
 
 
-def _double_conv(p, x, fast: bool, num_groups: int, stats0=None):
-    if fast:
-        # conv1 emits its output stats in-kernel iff conv2 will normalize —
-        # the (Z, C1, Y, X) intermediate is then never re-read for stats
-        # (KM_NO_CONV_STATS=1 is the kill-switch: falls back to the XLA
-        # reduce without touching the conv kernel itself)
-        wants = (
-            "GroupNorm_0" in p["SingleConv_1"]
-            and os.environ.get("KM_NO_CONV_STATS") != "1"
+def _double_conv_flat(p, xf, spatial, num_groups: int, stats0=None, xb=None):
+    """DoubleConv on the kernel's native flat (Z, C, Y*X) lane layout:
+    both convs chained flat — the (Y, X)->lanes relayout is paid once per
+    block, not per conv — and conv2's GN affine comes from conv1's
+    in-kernel stats, so the intermediate is never re-read.
+
+    ``xb``: optional second flat input — conv1 then runs over the channel
+    concat [xf, xb] WITHOUT materializing it (the decoder's
+    [skip, upsampled] input; conv3d.conv3x3_fused_flat_parts). ``stats0``
+    must then cover the concatenated channels.
+
+    conv1 emits its output stats in-kernel iff conv2 will normalize
+    (KM_NO_CONV_STATS=1 is the kill-switch: falls back to the XLA reduce
+    without touching the conv kernel itself).
+    """
+    wants = (
+        "GroupNorm_0" in p["SingleConv_1"]
+        and os.environ.get("KM_NO_CONV_STATS") != "1"
+    )
+    Z, Y, X = spatial
+    C = int(xf.shape[1]) + (int(xb.shape[1]) if xb is not None else 0)
+    w0, sc0, sh0, b0 = _conv_affine(
+        p["SingleConv_0"], C, num_groups,
+        stats0 if stats0 is not None else _channel_stats(xf, 1),
+    )
+    if xb is not None:
+        r = conv3d.conv3x3_fused_flat_parts(
+            xf, xb, (Z, Y, X), w0, scale=sc0, shift=sh0, bias=b0,
+            emit_stats=wants,
         )
-        Z, C, Y, X = (int(s) for s in x.shape)
-        w0, sc0, sh0, b0 = _conv_affine(
-            p["SingleConv_0"], C, num_groups,
-            stats0 if stats0 is not None else _channel_stats(x, 1),
-        )
-        # both convs run on the kernel's native flat (Z, C, Y*X) lane
-        # layout: the (Y, X)->lanes relayout is paid once per DoubleConv
-        # instead of per conv (conv3d.conv3x3_fused_flat), and conv2's GN
-        # affine comes from conv1's in-kernel stats — the intermediate is
-        # never re-read
-        xf = x.reshape(Z, C, Y * X)
+    else:
         r = conv3d.conv3x3_fused_flat(
             xf, (Z, Y, X), w0, scale=sc0, shift=sh0, bias=b0,
             emit_stats=wants,
         )
-        yf, s1 = r if wants else (r, None)
-        C1 = int(yf.shape[1])
-        w1, sc1, sh1, b1 = _conv_affine(
-            p["SingleConv_1"], C1, num_groups,
-            s1 if s1 is not None else _channel_stats(yf, 1),
-        )
-        of = conv3d.conv3x3_fused_flat(
-            yf, (Z, Y, X), w1, scale=sc1, shift=sh1, bias=b1,
+    yf, s1 = r if wants else (r, None)
+    C1 = int(yf.shape[1])
+    w1, sc1, sh1, b1 = _conv_affine(
+        p["SingleConv_1"], C1, num_groups,
+        s1 if s1 is not None else _channel_stats(yf, 1),
+    )
+    return conv3d.conv3x3_fused_flat(
+        yf, (Z, Y, X), w1, scale=sc1, shift=sh1, bias=b1,
+    )
+
+
+def _double_conv(p, x, fast: bool, num_groups: int, stats0=None):
+    if fast:
+        Z, C, Y, X = (int(s) for s in x.shape)
+        of = _double_conv_flat(
+            p, x.reshape(Z, C, Y * X), (Z, Y, X), num_groups, stats0=stats0
         )
         return of.reshape(Z, int(of.shape[1]), Y, X)
     x = _single_conv_cl(p["SingleConv_0"], x, num_groups, stats=stats0)
@@ -336,33 +354,52 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
     outs = []
     for b in range(img.shape[0]):
         x = jnp.swapaxes(img[b], 0, 1).astype(jnp.bfloat16)  # (Z, 1, Y, X)
-        spatial = x.shape[0], x.shape[2], x.shape[3]
+        spatial = int(x.shape[0]), int(x.shape[2]), int(x.shape[3])
         fast = _level_fast(spatial)
-        if not fast:
+        xf = None
+        if fast:
+            # the fast segment carries FLAT (Z, C, Y*X) tensors end-to-end;
+            # 4-D re-expansion happens only where pooling/upsampling needs it
+            xf = x.reshape(int(x.shape[0]), 1, spatial[1] * spatial[2])
+        else:
             # lane-ineligible volumes run fully channel-last (free transpose:
             # the input has one channel)
             x = _to_cl(x)
 
         # encoder
-        skips = []  # (tensor, fast_layout)
+        skips = []  # (flat | channel-last tensor, fast_layout, spatial)
         for i in range(L):
             if i > 0:
+                if fast_prev:
+                    Z, Y, X = spatial
+                    x = xf.reshape(Z, -1, Y, X)  # pool consumes 4-D
                 x = _maxpool2(x, fast_prev)
                 spatial = tuple(s // 2 for s in spatial)
                 want_fast = _level_fast(spatial)
                 if fast_prev and not want_fast:
                     x = _to_cl(x)
                 fast = want_fast and fast_prev
-            x = _double_conv(params[f"DoubleConv_{i}"], x, fast, num_groups)
-            skips.append((x, fast))
+                if fast:
+                    Z, Y, X = spatial
+                    xf = x.reshape(Z, int(x.shape[1]), Y * X)
+            if fast:
+                xf = _double_conv_flat(
+                    params[f"DoubleConv_{i}"], xf, spatial, num_groups
+                )
+                # the skip keeps the kernel's native flat output: the
+                # decoder reads it directly (conv3x3_fused_flat_parts) and
+                # the old concat-side re-flatten of the skip disappears
+                skips.append((xf, True, spatial))
+            else:
+                x = _double_conv(params[f"DoubleConv_{i}"], x, False, num_groups)
+                skips.append((x, False, spatial))
             fast_prev = fast
 
         # decoder (deepest skip is the current x; truncation drops the last
         # decoders — models/unet.py:314-340)
-        reversed_f = list(reversed(f_maps))
         enc_list = skips[:-1][::-1]
         for i in range(num_decoders):
-            enc, enc_fast = enc_list[i]
+            enc, enc_fast, enc_sp = enc_list[i]
             dc = params[f"DoubleConv_{L + i}"]
             # GroupNorm stats for the first conv, computed on the SMALL
             # pre-upsample / pre-transpose tensors: nearest x2 repeats every
@@ -372,36 +409,51 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
             stats0 = None
             if "GroupNorm_0" in dc["SingleConv_0"]:
                 s_enc = _channel_stats(enc, 1 if enc_fast else -1)
-                s_x = _channel_stats(x, 1 if fast else -1)
+                s_x = _channel_stats(
+                    xf if fast else x, 1 if fast else -1
+                )
                 stats0 = (
                     jnp.concatenate([s_enc[0], s_x[0]]),
                     jnp.concatenate([s_enc[1], s_x[1]]),
                 )
             if fast and not enc_fast:
-                x = _to_cl(x)
+                Z, Y, X = spatial
+                x = _to_cl(xf.reshape(Z, -1, Y, X))
                 fast = False
             if enc_fast and not fast:
                 # transpose BEFORE the upsample (8x smaller)
-                x = _to_zc(x)
+                x4 = _to_zc(x)
                 fast = True
-            x = _upsample2(x, fast)
+            elif fast:
+                Z, Y, X = spatial
+                x4 = xf.reshape(Z, -1, Y, X)
             if fast:
-                x = jnp.concatenate([enc, x], axis=1)
+                x4 = _upsample2(x4, True)
+                spatial = enc_sp
+                Z, Y, X = spatial
+                xb = x4.reshape(Z, int(x4.shape[1]), Y * X)
+                # [skip, upsampled] conv with NO concat materialization
+                xf = _double_conv_flat(
+                    dc, enc, spatial, num_groups, stats0=stats0, xb=xb
+                )
             else:
+                x = _upsample2(x, False)
+                spatial = enc_sp
                 x = jnp.concatenate([enc, x], axis=-1)
-            x = _double_conv(dc, x, fast, num_groups, stats0=stats0)
+                x = _double_conv(dc, x, False, num_groups, stats0=stats0)
 
         # final 1x1 conv as a channel matmul (XLA's conv lowering of the
         # 1x1 measured 2.2 TFLOPS; the einsum lowers as a clean matmul)
         hw = params["Conv_0"]["kernel"][0, 0, 0].astype(jnp.bfloat16)  # (C, K)
         hb = params["Conv_0"]["bias"].astype(jnp.float32)
         if fast:
+            Z, Y, X = spatial
             out = (
                 jnp.einsum(
-                    "zcyx,ck->zyxk", x, hw, preferred_element_type=jnp.float32
+                    "zcn,ck->znk", xf, hw, preferred_element_type=jnp.float32
                 )
                 + hb
-            )
+            ).reshape(Z, Y, X, -1)
         else:
             out = (
                 jnp.einsum(

@@ -81,12 +81,16 @@ def _vmem_bytes(ZB, YB, Cg, cin, cout, X, slide):
 _VMEM_BUDGET = 13 * 2**20
 
 
-def _pick_tiles(cin, cout, Y, X):
+def _pick_tiles(cin, cout, Y, X, cg_divides=None):
     """(ZB, YB, Cg, slide): z rows per cell, y rows per cell, Cin chunk,
     sliding-tap-stack flag — sized against the ~16 MiB scoped-VMEM budget
-    (band + S + acc + out block)."""
+    (band + S + acc + out block).
+
+    ``cg_divides``: additionally require Cg to divide this value (the gcd
+    of a multi-part input's channel counts — conv3x3_fused_flat_parts
+    groups must not straddle a part boundary)."""
     forced = os.environ.get("KM_CONV_TILES")
-    if forced:
+    if forced and cg_divides is None:
         ZB, YB, Cg = (int(v) for v in forced.split(","))
         Cg = min(Cg, cin)
         slide = _slide_stack(Cg, ZB)
@@ -108,6 +112,8 @@ def _pick_tiles(cin, cout, Y, X):
     ):
         Cg = min(Cg, cin)
         if cin % Cg != 0 or Y % YB != 0:
+            continue
+        if cg_divides is not None and cg_divides % Cg != 0:
             continue
         slide = _slide_stack(Cg, ZB)
         if _vmem_bytes(ZB, YB, Cg, cin, cout, X, slide) <= _VMEM_BUDGET:
@@ -732,6 +738,61 @@ def _conv_pallas_flat(xf, spatial, w, scale, shift, bias, relu, interpret,
     return out
 
 
+def _conv_pallas_flat_parts(parts, spatial, w, scale, shift, bias, relu,
+                            interpret, emit_stats=False):
+    """Multi-source channel groups: the conv input is the CHANNEL
+    CONCATENATION of ``parts`` (flat (Z, C_i, Y*X) tensors), but the
+    concatenated tensor is never materialized — each Cin group call reads
+    its channel slice straight from the part that owns it via the kernel's
+    in-kernel ``c0`` offset. This is the U-Net decoder's [skip, upsampled]
+    concat input (reference unet3d/buildingblocks.py decoder `torch.cat`):
+    the 384-channel concat at d1 / 192-channel at d2 disappears from HBM.
+
+    Returns None when the group size doesn't tile every part (caller falls
+    back to the concat path)."""
+    Z, Y, X = spatial
+    sizes = [int(p.shape[1]) for p in parts]
+    Cin = sum(sizes)
+    Cout = int(w.shape[-1])
+    import math
+
+    g = math.gcd(*sizes)
+    tiles = _pick_tiles(Cin, Cout, Y, X, cg_divides=g)
+    if tiles is None:
+        return None
+    ZB, YB, Cg, slide = tiles
+    parts = [p.astype(jnp.bfloat16) for p in parts]
+
+    def grp(c0, with_consts, relu_g, out_dtype):
+        off = 0
+        for p, s in zip(parts, sizes):
+            if c0 < off + s:
+                break
+            off += s
+        c1 = min(c0 + Cg, Cin)
+        return _conv_pallas_group_flat(
+            p, spatial, c0 - off,
+            w[:, :, :, c0:c1],
+            scale[c0:c1] if scale is not None else None,
+            shift[c0:c1] if shift is not None else None,
+            bias if with_consts else None,
+            relu_g, interpret, tiles,
+            out_dtype=out_dtype,
+        )
+
+    # >= 2 parts means >= 2 groups: always the fp32 partial-sum path (the
+    # single bf16 rounding happens after the cross-group sum, like XLA)
+    out = grp(0, True, False, jnp.float32)
+    for c0 in range(Cg, Cin, Cg):
+        out = out + grp(c0, False, False, jnp.float32)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out = out.astype(jnp.bfloat16)[:Z]
+    if emit_stats:
+        return out, _xla_out_stats_flat(out)
+    return out
+
+
 def _conv_pallas(x, w, scale, shift, bias, relu, interpret, emit_stats=False):
     """x: (Z, Cin, Y, X) -> (Z, Cout, Y, X). Shapes pre-checked.
 
@@ -1029,6 +1090,70 @@ def _conv_flat_bwd(spatial, relu, emit_stats, res, g):
 
 
 _conv_flat.defvjp(_conv_flat_fwd, _conv_flat_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 7, 8))
+def _conv_flat2(xa, xb, spatial, w, scale, shift, bias, relu, emit_stats):
+    return _conv_flat2_fwd_impl(xa, xb, spatial, w, scale, shift, bias,
+                                relu, emit_stats)
+
+
+def _conv_flat2_fwd_impl(xa, xb, spatial, w, scale, shift, bias, relu,
+                         emit_stats):
+    Z, Y, X = spatial
+    Cin = int(xa.shape[1]) + int(xb.shape[1])
+    if (
+        fast_conv_enabled()
+        and os.environ.get("KM_NO_CONV_FLAT") != "1"
+        and os.environ.get("KM_NO_CONV_PARTS") != "1"
+        and min(int(xa.shape[1]), int(xb.shape[1])) >= 8
+        and _shapes_eligible((Z, Cin, Y, X))
+    ):
+        interpret = jax.default_backend() == "cpu"
+        res = _conv_pallas_flat_parts(
+            [xa, xb], spatial, w, scale, shift, bias, relu, interpret,
+            emit_stats=emit_stats,
+        )
+        if res is not None:
+            return res
+    return _conv_flat_fwd_impl(
+        jnp.concatenate([xa, xb], axis=1), spatial, w, scale, shift, bias,
+        relu, emit_stats,
+    )
+
+
+def _conv_flat2_fwd(xa, xb, spatial, w, scale, shift, bias, relu, emit_stats):
+    return (
+        _conv_flat2_fwd_impl(xa, xb, spatial, w, scale, shift, bias, relu,
+                             emit_stats),
+        (xa, xb, w, scale, shift, bias),
+    )
+
+
+def _conv_flat2_bwd(spatial, relu, emit_stats, res, g):
+    xa, xb, w, scale, shift, bias = res
+    Z, Y, X = spatial
+    Ca = int(xa.shape[1])
+    x = jnp.concatenate([xa, xb], axis=1).reshape(Z, -1, Y, X)
+    if emit_stats:
+        g = (g[0].reshape(Z, -1, Y, X), g[1])
+    else:
+        g = g.reshape(Z, -1, Y, X)
+    outs = _conv_bwd(relu, emit_stats, (x, w, scale, shift, bias), g)
+    g_x = outs[0].reshape(Z, -1, Y * X)
+    return (g_x[:, :Ca], g_x[:, Ca:]) + tuple(outs[1:])
+
+
+_conv_flat2.defvjp(_conv_flat2_fwd, _conv_flat2_bwd)
+
+
+def conv3x3_fused_flat_parts(xa, xb, spatial, w, scale=None, shift=None,
+                             bias=None, relu=True, emit_stats=False):
+    """conv3x3_fused_flat whose input is the channel concat [xa, xb] —
+    without materializing the concat (see _conv_pallas_flat_parts).
+    KM_NO_CONV_PARTS=1 forces the concat path."""
+    return _conv_flat2(xa, xb, spatial, w, scale, shift, bias, relu,
+                       emit_stats)
 
 
 def conv3x3_fused_flat(xf, spatial, w, scale=None, shift=None, bias=None,

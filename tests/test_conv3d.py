@@ -168,3 +168,78 @@ def test_conv_pallas_backward_matches_xla(rng, monkeypatch):
         an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
         sc = max(np.abs(bn).max(), 1e-6)
         assert np.abs(an - bn).max() / sc < 3e-2
+
+
+def test_conv_flat_parts_matches_concat(rng):
+    """conv3x3_fused_flat_parts([xa, xb]) == conv3x3_fused_flat(concat):
+    the decoder's [skip, upsampled] conv without materializing the concat.
+    Channel counts force the multi-group path (gcd-aligned groups)."""
+    Z, Y, X = 8, 16, 128
+    Ca, Cb, Cout = 64, 128, 16
+    xa = _mk(rng, (Z, Ca, Y * X)) * 0.5
+    xb = _mk(rng, (Z, Cb, Y * X)) * 0.5
+    w = _mk(rng, (3, 3, 3, Ca + Cb, Cout)) * 0.05
+    scale = _mk(rng, (Ca + Cb,)) * 0.1 + 1.0
+    shift = _mk(rng, (Ca + Cb,)) * 0.1
+    for emit in (False, True):
+        got = conv3d.conv3x3_fused_flat_parts(
+            xa, xb, (Z, Y, X), w, scale=scale, shift=shift, emit_stats=emit
+        )
+        want = conv3d.conv3x3_fused_flat(
+            jnp.concatenate([xa, xb], axis=1), (Z, Y, X), w,
+            scale=scale, shift=shift, emit_stats=emit,
+        )
+        if emit:
+            got, gs = got
+            want, ws = want
+            for a, b in zip(gs, ws):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-2, rtol=1e-2
+                )
+        an = np.asarray(got, np.float32)
+        bn = np.asarray(want, np.float32)
+        sc = np.abs(bn).max() + 1e-6
+        np.testing.assert_allclose(an / sc, bn / sc, atol=3e-2)
+
+
+def test_conv_flat_parts_grad_matches_concat(rng):
+    """The parts conv's VJP (concat in backward only) matches
+    differentiating the concat formulation."""
+    Z, Y, X = 4, 16, 128
+    Ca, Cb, Cout = 64, 64, 8
+    xa = _mk(rng, (Z, Ca, Y * X)) * 0.5
+    xb = _mk(rng, (Z, Cb, Y * X)) * 0.5
+    w = _mk(rng, (3, 3, 3, Ca + Cb, Cout)) * 0.05
+
+    def loss_parts(xa_, xb_, w_):
+        o = conv3d.conv3x3_fused_flat_parts(xa_, xb_, (Z, Y, X), w_)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_concat(xa_, xb_, w_):
+        o = conv3d.conv3x3_fused_flat(
+            jnp.concatenate([xa_, xb_], axis=1), (Z, Y, X), w_
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_parts = jax.grad(loss_parts, argnums=(0, 1, 2))(xa, xb, w)
+    g_concat = jax.grad(loss_concat, argnums=(0, 1, 2))(xa, xb, w)
+    for a, b in zip(g_parts, g_concat):
+        an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        sc = max(np.abs(bn).max(), 1e-6)
+        assert np.abs(an - bn).max() / sc < 3e-2
+
+
+def test_conv_flat_parts_misaligned_falls_back(rng):
+    """Part sizes whose gcd admits no fitting group size fall back to the
+    concat path (still correct)."""
+    Z, Y, X = 4, 16, 128
+    xa = _mk(rng, (Z, 24, Y * X)) * 0.5
+    xb = _mk(rng, (Z, 40, Y * X)) * 0.5
+    w = _mk(rng, (3, 3, 3, 64, 8)) * 0.05
+    got = conv3d.conv3x3_fused_flat_parts(xa, xb, (Z, Y, X), w)
+    want = conv3d.conv3x3_fused_flat(
+        jnp.concatenate([xa, xb], axis=1), (Z, Y, X), w
+    )
+    an, bn = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    sc = np.abs(bn).max() + 1e-6
+    np.testing.assert_allclose(an / sc, bn / sc, atol=3e-2)
