@@ -102,14 +102,28 @@ def _pick_tiles(cin, cout, Y, X, cg_divides=None):
         return ZB, YB, Cg, slide
     # lane row of one y-window: (YB+16)*X elems
     # try generous tiles first, shrink until the budget holds
-    for ZB, YB, Cg in (
+    ladder = (
         (4, 16, cin),
         (4, 16, 64),
         (2, 16, 64),
         (2, 8, 64),
         (2, 8, 32),
         (1, 8, 32),
-    ):
+    )
+    if os.environ.get("KM_CONV_BIGCG") == "1":
+        # big-Cg rungs: fewer Cin groups at the deep levels (X in {32, 64},
+        # where the small lane row lets 96-256-channel bands fit VMEM) —
+        # e3/e4/d1c2 become SINGLE-group (no fp32 partial-sum round trip),
+        # d1c1 drops 6 -> 3 groups, d2c1 3 -> 2. Default OFF until
+        # device-validated (tools/conv_microbench) — flip after the sweep.
+        ladder = (
+            (4, 16, cin),
+            (2, 16, cin),
+            (2, 16, 192),
+            (2, 16, 128),
+            (2, 8, 96),
+        ) + ladder[1:]
+    for ZB, YB, Cg in ladder:
         Cg = min(Cg, cin)
         if cin % Cg != 0 or Y % YB != 0:
             continue
