@@ -132,14 +132,36 @@ def ranked_fidelity():
             )["planes"]
         )(pf, pm)
 
-    exact = np.asarray(planes(first[0], first[1], None))
+    # seg fidelity: hard Dice between the approx-flow-warped moving seg and
+    # the exact-flow-warped one — "how much does the approximation change
+    # the registration output", independent of absolute weight quality
+    from keymorph_tpu.metrics import fast_dice
+    from keymorph_tpu.ops.resample import align_planes
+
+    _, segs = make_subjects(n_subjects=2, size=size, seed=3)
+    seg_m = jnp.asarray(segs[1:2], jnp.float32)
+    warp = jax.jit(lambda pl, s: align_planes(pl, s, mode="nearest"))
+
+    def _hard_dice(a, b):  # label maps -> one-hot, fast_dice's contract
+        labs = np.union1d(a, b)
+        oh_a = np.stack([a == l for l in labs])[None].astype(np.float32)
+        oh_b = np.stack([b == l for l in labs])[None].astype(np.float32)
+        return float(fast_dice(oh_a, oh_b))
+
+    exact_pl = planes(first[0], first[1], None)
+    exact = np.asarray(exact_pl)
+    seg_exact = np.asarray(warp(exact_pl, seg_m))[0, 0]
     print(f"# ranked-fidelity {size}^3 K={K} (exact flow from all K centers)")
     for S in Ss:
         for label, (pf, pm, _) in (("first", first), ("ranked", ranked)):
-            d = np.abs(np.asarray(planes(pf, pm, S)) - exact)
+            pl = planes(pf, pm, S)
+            d = np.abs(np.asarray(pl) - exact)
+            seg_a = np.asarray(warp(pl, seg_m))[0, 0]
+            dice = _hard_dice(seg_a, seg_exact)
             print(
                 f"S={S:4d} {label:6s}: max|d| {d.max():.5f}  "
-                f"mean|d| {d.mean():.6f} (grid units)"
+                f"mean|d| {d.mean():.6f} (grid units)  "
+                f"dice-vs-exact {dice:.5f}"
             )
             sys.stdout.flush()
 
