@@ -197,7 +197,8 @@ def _single_conv_cl(p: Dict[str, Any], x, num_groups: int, relu=True, stats=None
     return out.astype(jnp.bfloat16)
 
 
-def _double_conv_flat(p, xf, spatial, num_groups: int, stats0=None, xb=None):
+def _double_conv_flat(p, xf, spatial, num_groups: int, stats0=None, xb=None,
+                      xb_lo=False):
     """DoubleConv on the kernel's native flat (Z, C, Y*X) lane layout:
     both convs chained flat — the (Y, X)->lanes relayout is paid once per
     block, not per conv — and conv2's GN affine comes from conv1's
@@ -206,7 +207,10 @@ def _double_conv_flat(p, xf, spatial, num_groups: int, stats0=None, xb=None):
     ``xb``: optional second flat input — conv1 then runs over the channel
     concat [xf, xb] WITHOUT materializing it (the decoder's
     [skip, upsampled] input; conv3d.conv3x3_fused_flat_parts). ``stats0``
-    must then cover the concatenated channels.
+    must then cover the concatenated channels. With ``xb_lo``, ``xb`` is
+    the PRE-upsample low-res tensor and conv1 is the fused upsample-conv
+    (conv3d.conv3x3_fused_flat_upconv — 2^3 parity taps, no upsampled
+    tensor in HBM).
 
     conv1 emits its output stats in-kernel iff conv2 will normalize
     (KM_NO_CONV_STATS=1 is the kill-switch: falls back to the XLA reduce
@@ -222,7 +226,12 @@ def _double_conv_flat(p, xf, spatial, num_groups: int, stats0=None, xb=None):
         p["SingleConv_0"], C, num_groups,
         stats0 if stats0 is not None else _channel_stats(xf, 1),
     )
-    if xb is not None:
+    if xb is not None and xb_lo:
+        r = conv3d.conv3x3_fused_flat_upconv(
+            xf, xb, (Z, Y, X), w0, scale=sc0, shift=sh0, bias=b0,
+            emit_stats=wants,
+        )
+    elif xb is not None:
         r = conv3d.conv3x3_fused_flat_parts(
             xf, xb, (Z, Y, X), w0, scale=sc0, shift=sh0, bias=b0,
             emit_stats=wants,
@@ -421,20 +430,20 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
                 x = _to_cl(xf.reshape(Z, -1, Y, X))
                 fast = False
             if enc_fast and not fast:
-                # transpose BEFORE the upsample (8x smaller)
+                # lane-ineligible deep level: transpose to zc at the SMALL
+                # pre-upsample size and hand the flat low-res tensor over
                 x4 = _to_zc(x)
+                xf = x4.reshape(int(x4.shape[0]), int(x4.shape[1]), -1)
                 fast = True
-            elif fast:
-                Z, Y, X = spatial
-                x4 = xf.reshape(Z, -1, Y, X)
             if fast:
-                x4 = _upsample2(x4, True)
                 spatial = enc_sp
-                Z, Y, X = spatial
-                xb = x4.reshape(Z, int(x4.shape[1]), Y * X)
-                # [skip, upsampled] conv with NO concat materialization
+                # upsample+concat+conv in one op: conv1 reads the
+                # PRE-upsample flat tensor (conv3x3_fused_flat_upconv:
+                # 2^3 parity taps when KM_CONV_UPCONV=1; otherwise a
+                # materialized upsample + the concat-free parts path)
                 xf = _double_conv_flat(
-                    dc, enc, spatial, num_groups, stats0=stats0, xb=xb
+                    dc, enc, spatial, num_groups, stats0=stats0,
+                    xb=xf, xb_lo=True,
                 )
             else:
                 x = _upsample2(x, False)

@@ -219,35 +219,56 @@ def _kernel(wt_ref, bias_ref, xp_ref, out_ref, *refs, ZB, YB, Cg, X, Cout,
 
 def _cell_compute(wt_ref, out_ref, band, s_ref, slot, lane, b, c_left,
                   c_right, *, stats, ZB, Cg, X, Cout, N, Z, n_cells_y,
-                  relu, out_dtype, slide, ablate, cshift=None):
+                  relu, out_dtype, slide, ablate, cshift=None, parity=None):
     """Shared per-cell compute: tap stack -> matmul -> dx combine -> relu ->
     out block (+ optional per-cell stats partials). ``cshift`` — the flat
     (in-kernel-halo) kernel's (Cg, 1) +b/a column — is added during the
     stack copies; with the halo regions pre-filled to -b/a, out-of-bounds
-    taps become exact zeros (see _kernel_flat)."""
+    taps become exact zeros (see _kernel_flat).
+
+    ``parity``: (pz, py, px) in {0,1}^3 — the fused nearest-upsample conv:
+    the 3^3 conv on the x2-upsampled input collapses, per output parity
+    class, to a 2^3-tap conv on the LOW-RES input (taps folded in
+    _prepack_parity). The 2 taps per dim are a contiguous subset of the
+    same band offsets the 3-tap path uses (dz in {pz, pz+1}, dy in
+    {py, py+1}, dx rolls for {px-1, px} of the hi-res stencil), so the
+    band DMA/halo machinery is shared verbatim. FLOPs drop 27 -> 8 taps."""
     if stats is not None:
         stat_ref, t = stats
         s1 = jnp.zeros((Cout, 1), jnp.float32)
         s2 = jnp.zeros((Cout, 1), jnp.float32)
+
+    dzs = (0, 1, 2) if parity is None else (parity[0], parity[0] + 1)
+    dys = (0, 1, 2) if parity is None else (parity[1], parity[1] + 1)
+    dxs = (0, 1, 2) if parity is None else (parity[2], parity[2] + 1)
+    n_dy = len(dys)
+    n_pairs = len(dzs) * n_dy
 
     def stacked(src):
         return src if cshift is None else src + cshift
 
     if slide and ablate != "nostack":
         # sliding stack: each (z-plane, dy) block copied once per cell;
-        # every lz reads a contiguous K window (see _slide_stack)
-        for zp in range(ZB + 2):
-            for dy in range(3):
-                s_ref[(zp * 3 + dy) * Cg : (zp * 3 + dy + 1) * Cg, :] = (
-                    stacked(band[slot, zp, :, (7 + dy) * X : (7 + dy) * X + N])
+        # every lz reads a contiguous K window (see _slide_stack).
+        # Parity mode: only the 2 needed dy rows per plane are stacked and
+        # each lz reads the window starting at its first needed plane.
+        for zp in range(ZB + 2 if parity is None else ZB + 1):
+            for j, dy in enumerate(dys):
+                s_ref[(zp * n_dy + j) * Cg : (zp * n_dy + j + 1) * Cg, :] = (
+                    stacked(
+                        band[
+                            slot, zp + (0 if parity is None else dzs[0]), :,
+                            (7 + dy) * X : (7 + dy) * X + N,
+                        ]
+                    )
                 )
 
     for lz in range(ZB):
         if not slide and ablate != "nostack":
-            # stack the 9 (dz, dy) taps: S[(dz*3+dy)*Cg : +Cg] = shifted rows
-            for dz in range(3):
-                for dy in range(3):
-                    s_ref[(dz * 3 + dy) * Cg : (dz * 3 + dy + 1) * Cg, :] = (
+            # stack the (dz, dy) taps: S[(i*n_dy+j)*Cg : +Cg] = shifted rows
+            for i, dz in enumerate(dzs):
+                for j, dy in enumerate(dys):
+                    s_ref[(i * n_dy + j) * Cg : (i * n_dy + j + 1) * Cg, :] = (
                         stacked(
                             band[
                                 slot, lz + dz, :,
@@ -256,7 +277,7 @@ def _cell_compute(wt_ref, out_ref, band, s_ref, slot, lane, b, c_left,
                         )
                     )
         s = (
-            s_ref[lz * 3 * Cg : lz * 3 * Cg + 9 * Cg, :]
+            s_ref[lz * n_dy * Cg : lz * n_dy * Cg + n_pairs * Cg, :]
             if slide
             else s_ref[...]
         )
@@ -264,20 +285,20 @@ def _cell_compute(wt_ref, out_ref, band, s_ref, slot, lane, b, c_left,
         o = o + jnp.where(lane == 0, c_left, 0.0)
         o = o + jnp.where(lane == X - 1, c_right, 0.0)
         if ablate == "nomm":
-            y_all = jnp.zeros((3 * Cout, N), jnp.float32)
+            y_all = jnp.zeros((len(dxs) * Cout, N), jnp.float32)
         else:
-            # one matmul for all 3 dx taps: M = 3*Cout fills the MXU's 128
+            # one matmul for all dx taps: M = n_dx*Cout fills the MXU's 128
             # sublanes where a per-tap M = Cout (16-64 at the hot levels)
             # left it 12-50% occupied — the difference between the kernel
             # being matmul-bound and bandwidth-bound at Cout=32
             y_all = jax.lax.dot_general(
-                wt_ref[...].reshape(3 * Cout, 9 * Cg),
+                wt_ref[...].reshape(len(dxs) * Cout, n_pairs * Cg),
                 s,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (3*Cout, N)
-        for dx in range(3):
-            y_dx = y_all[dx * Cout : (dx + 1) * Cout]
+            )  # (n_dx*Cout, N)
+        for k, dx in enumerate(dxs):
+            y_dx = y_all[k * Cout : (k + 1) * Cout]
             if ablate != "noroll":
                 if dx == 0:
                     # output x gets input x-1: shift contributions right;
@@ -313,7 +334,8 @@ def _cell_compute(wt_ref, out_ref, band, s_ref, slot, lane, b, c_left,
 
 def _kernel_flat(wt_ref, bias_ref, cvec_ref, x_ref, out_ref, *refs, ZB, YB,
                  Cg, c0, X, Y, Z, Cout, n_cells_y, relu, out_dtype,
-                 emit_stats=False, slide=True, has_shift=False, ablate=None):
+                 emit_stats=False, slide=True, has_shift=False, ablate=None,
+                 parity=None):
     """In-kernel-halo variant: reads the UNPADDED flat volume directly.
 
     The xp-building chain the padded kernel needs (pad + reshape + layout
@@ -463,7 +485,7 @@ def _kernel_flat(wt_ref, bias_ref, cvec_ref, x_ref, out_ref, *refs, ZB, YB,
         stats=(stat_ref, t) if emit_stats else None,
         ZB=ZB, Cg=Cg, X=X, Cout=Cout, N=N, Z=Z, n_cells_y=n_cells_y,
         relu=relu, out_dtype=out_dtype, slide=slide, ablate=ablate,
-        cshift=cshift,
+        cshift=cshift, parity=parity,
     )
 
 
@@ -503,6 +525,43 @@ def _prepack(w, scale, shift, bias):
     # (dz, dy, dx, ci, co) -> (dx, co, dz, dy, ci)
     wt = jnp.transpose(wf, (2, 4, 0, 1, 3)).reshape(3, cout, 9 * cin)
     bias_col = jnp.zeros((cout, 128), jnp.float32).at[:, 0].set(fold_bias)
+    return wt.astype(jnp.bfloat16), bias_col, xshift
+
+
+def _fold_parity(wf, axis, p):
+    """Collapse one 3-tap conv axis onto a x2-nearest-upsampled input to
+    its 2-tap equivalent for output parity ``p``: taps that read the same
+    low-res voxel sum their weights (even: [W0, W1+W2]; odd: [W0+W1, W2])."""
+    w0, w1, w2 = (jnp.take(wf, i, axis=axis) for i in range(3))
+    lo = w0 + (w1 if p == 1 else 0.0)
+    hi = w2 + (w1 if p == 0 else 0.0)
+    return jnp.stack([lo, hi], axis=axis)
+
+
+def _prepack_parity(w, scale, shift, parity):
+    """Parity-class operands for the fused upsample-conv (see _cell_compute
+    ``parity``): fold the per-Cin affine into the 3^3 weights (as _prepack),
+    then fold each conv axis to its 2-tap parity equivalent. Returns
+    (wt (2, Cout, 4*Cin) bf16, bias_col (Cout, 128) zeros, xshift)."""
+    pz, py, px = parity
+    cout = int(w.shape[-1])
+    cin = int(w.shape[3])
+    wf = w.astype(jnp.float32)
+    if scale is not None:
+        wf = wf * scale.astype(jnp.float32)[None, None, None, :, None]
+    xshift = None
+    if shift is not None:
+        b = shift.astype(jnp.float32)
+        if scale is not None:
+            a = scale.astype(jnp.float32)
+            xshift = jnp.where(a != 0.0, b / jnp.where(a == 0.0, 1.0, a), 0.0)
+        else:
+            xshift = b
+    w2 = _fold_parity(wf, 0, pz)
+    w2 = _fold_parity(w2, 1, py)
+    w2 = _fold_parity(w2, 2, px)  # (2, 2, 2, cin, cout)
+    wt = jnp.transpose(w2, (2, 4, 0, 1, 3)).reshape(2, cout, 4 * cin)
+    bias_col = jnp.zeros((cout, 128), jnp.float32)
     return wt.astype(jnp.bfloat16), bias_col, xshift
 
 
@@ -611,18 +670,27 @@ def _xla_out_stats_flat(out):
 
 def _conv_pallas_group_flat(xf, spatial, c0, w, scale, shift, bias, relu,
                             interpret, tiles, out_dtype=jnp.bfloat16,
-                            emit_stats=False):
+                            emit_stats=False, parity=None):
     """Single Cin-group call via the in-kernel-halo kernel: reads channels
     [c0, c0+Cg) of the UNPADDED flat (Z, Cin_total, Y*X) volume directly
     (no padded copy, no host-side channel slice). w/scale/shift are the
-    group's slices. Returns flat (Zp, Cout, Y*X)."""
+    group's slices. Returns flat (Zp, Cout, Y*X).
+
+    ``parity``: (pz, py, px) — fused-upsample-conv mode: ``xf``/``spatial``
+    are the LOW-RES tensor and the output is that parity class of the
+    conv-on-upsampled result at the same (low-res) shape. 2^3 folded taps
+    (_prepack_parity); no bias/stats (the orchestrator owns both)."""
     Z, Y, X = spatial
     Cg = int(w.shape[3])
     Cout = int(w.shape[-1])
     ZB, YB, _, slide = tiles
     Zp = _round_up(Z, ZB)
 
-    wt, bias_col, xshift = _prepack(w, scale, shift, bias)
+    if parity is not None:
+        assert not emit_stats and bias is None
+        wt, bias_col, xshift = _prepack_parity(w, scale, shift, parity)
+    else:
+        wt, bias_col, xshift = _prepack(w, scale, shift, bias)
     has_shift = xshift is not None
     cvec = jnp.broadcast_to(
         (
@@ -655,18 +723,25 @@ def _conv_pallas_group_flat(xf, spatial, c0, w, scale, shift, bias, relu,
         ]
 
     ablate = os.environ.get("KM_CONV_ABLATE") or None
+    n_dx = 3 if parity is None else 2
+    n_pairs = 9 if parity is None else 4
+    n_dy = 3 if parity is None else 2
+    if slide:
+        s_rows = (n_dy * (ZB + 2) if parity is None else n_dy * (ZB + 1)) * Cg
+    else:
+        s_rows = n_pairs * Cg
     res = pl.pallas_call(
         functools.partial(
             _kernel_flat,
             ZB=ZB, YB=YB, Cg=Cg, c0=c0, X=X, Y=Y, Z=Z, Cout=Cout,
             n_cells_y=n_cells_y, relu=relu, out_dtype=out_dtype,
             emit_stats=emit_stats, slide=slide, has_shift=has_shift,
-            ablate=ablate,
+            ablate=ablate, parity=parity,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (3, Cout, 9 * Cg), lambda t: (0, 0, 0),
+                (n_dx, Cout, n_pairs * Cg), lambda t: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((Cout, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -677,10 +752,7 @@ def _conv_pallas_group_flat(xf, spatial, c0, w, scale, shift, bias, relu,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, ZB + 2, Cg, WL), jnp.bfloat16),
-            pltpu.VMEM(
-                ((3 * (ZB + 2) if slide else 9) * Cg, N),
-                jnp.bfloat16,
-            ),
+            pltpu.VMEM((s_rows, N), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -802,6 +874,90 @@ def _conv_pallas_flat_parts(parts, spatial, w, scale, shift, bias, relu,
     if relu:
         out = jnp.maximum(out, 0.0)
     out = out.astype(jnp.bfloat16)[:Z]
+    if emit_stats:
+        return out, _xla_out_stats_flat(out)
+    return out
+
+
+def _upsample2_flat(xb, lo_spatial):
+    """Nearest x2 of a flat (Zl, C, Yl*Xl) tensor -> flat (Z, C, Y*X)
+    (the U-Net decoder's F.interpolate(mode='nearest') semantics)."""
+    Zl, Yl, Xl = lo_spatial
+    x4 = xb.reshape(Zl, -1, Yl, Xl)
+    x4 = jnp.repeat(jnp.repeat(jnp.repeat(x4, 2, 0), 2, 2), 2, 3)
+    return x4.reshape(2 * Zl, -1, 4 * Yl * Xl)
+
+
+def _conv_pallas_flat_upconv(xa, xb_lo, spatial, w, scale, shift, bias,
+                             relu, interpret, emit_stats=False):
+    """Fused-upsample decoder conv: input = concat([xa (hi-res skip),
+    nearest-x2-upsample(xb_lo)]) along channels, with NEITHER the upsampled
+    tensor NOR the concat ever materialized. The hi-res part runs normal
+    group calls; the low-res part runs 8 parity-class calls with 2^3
+    folded taps (8 instead of 27 MACs per upsampled-input channel — the
+    reference decoder's upsample+cat+conv, unet3d/buildingblocks.py), and
+    the parity outputs interleave into the hi-res flat layout.
+
+    Returns None when either side has no fitting tile config."""
+    Z, Y, X = spatial
+    lo = (Z // 2, Y // 2, X // 2)
+    Ca = int(xa.shape[1])
+    Cb = int(xb_lo.shape[1])
+    Cout = int(w.shape[-1])
+    tiles_a = _pick_tiles(Ca, Cout, Y, X)
+    tiles_b = _pick_tiles(Cb, Cout, lo[1], lo[2])
+    if tiles_a is None or tiles_b is None:
+        return None
+    xa = xa.astype(jnp.bfloat16)
+    xb = xb_lo.astype(jnp.bfloat16)
+    w_a, w_b = w[:, :, :, :Ca], w[:, :, :, Ca:]
+    sc_a = scale[:Ca] if scale is not None else None
+    sc_b = scale[Ca:] if scale is not None else None
+    sh_a = shift[:Ca] if shift is not None else None
+    sh_b = shift[Ca:] if shift is not None else None
+
+    # hi-res skip part (bias rides the first group)
+    Cg_a = tiles_a[2]
+    out = None
+    for c0 in range(0, Ca, Cg_a):
+        c1 = min(c0 + Cg_a, Ca)
+        part = _conv_pallas_group_flat(
+            xa, spatial, c0, w_a[:, :, :, c0:c1],
+            sc_a[c0:c1] if sc_a is not None else None,
+            sh_a[c0:c1] if sh_a is not None else None,
+            bias if c0 == 0 else None, False, interpret, tiles_a,
+            out_dtype=jnp.float32,
+        )
+        out = part if out is None else out + part
+    out = out[:Z]
+
+    # low-res part: 8 parity classes, each summed over its Cin groups
+    Cg_b = tiles_b[2]
+    Zl, Yl, Xl = lo
+    pclasses = []
+    for pz in (0, 1):
+        for py in (0, 1):
+            for px in (0, 1):
+                acc = None
+                for c0 in range(0, Cb, Cg_b):
+                    c1 = min(c0 + Cg_b, Cb)
+                    part = _conv_pallas_group_flat(
+                        xb, lo, c0, w_b[:, :, :, c0:c1],
+                        sc_b[c0:c1] if sc_b is not None else None,
+                        sh_b[c0:c1] if sh_b is not None else None,
+                        None, False, interpret, tiles_b,
+                        out_dtype=jnp.float32, parity=(pz, py, px),
+                    )
+                    acc = part if acc is None else acc + part
+                pclasses.append(acc[:Zl])
+    # interleave: out[2q+pz, c, 2y+py, 2x+px] = P[pz,py,px][q, c, y, x]
+    P = jnp.stack(pclasses).reshape(2, 2, 2, Zl, Cout, Yl, Xl)
+    up = jnp.transpose(P, (3, 0, 4, 5, 1, 6, 2)).reshape(Z, Cout, Y * X)
+
+    out = out + up
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out = out.astype(jnp.bfloat16)
     if emit_stats:
         return out, _xla_out_stats_flat(out)
     return out
@@ -1168,6 +1324,80 @@ def conv3x3_fused_flat_parts(xa, xb, spatial, w, scale=None, shift=None,
     KM_NO_CONV_PARTS=1 forces the concat path."""
     return _conv_flat2(xa, xb, spatial, w, scale, shift, bias, relu,
                        emit_stats)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 7, 8))
+def _conv_upconv(xa, xb_lo, spatial, w, scale, shift, bias, relu, emit_stats):
+    return _conv_upconv_fwd_impl(xa, xb_lo, spatial, w, scale, shift, bias,
+                                 relu, emit_stats)
+
+
+def _conv_upconv_fwd_impl(xa, xb_lo, spatial, w, scale, shift, bias, relu,
+                          emit_stats):
+    Z, Y, X = spatial
+    Ca = int(xa.shape[1])
+    Cb = int(xb_lo.shape[1])
+    if (
+        fast_conv_enabled()
+        and os.environ.get("KM_NO_CONV_FLAT") != "1"
+        and os.environ.get("KM_CONV_UPCONV") == "1"  # opt-in until device-validated
+        and min(Ca, Cb) >= 8
+        and Z % 2 == 0 and Y % 2 == 0 and X % 2 == 0
+        and _shapes_eligible((Z, Ca, Y, X))
+        and _shapes_eligible((Z // 2, Cb, Y // 2, X // 2))
+    ):
+        interpret = jax.default_backend() == "cpu"
+        res = _conv_pallas_flat_upconv(
+            xa, xb_lo, spatial, w, scale, shift, bias, relu, interpret,
+            emit_stats=emit_stats,
+        )
+        if res is not None:
+            return res
+    # fallback: materialize the upsample, take the parts path (which
+    # itself falls back to concat / XLA as needed)
+    xb = _upsample2_flat(xb_lo, (Z // 2, Y // 2, X // 2))
+    return _conv_flat2_fwd_impl(xa, xb, spatial, w, scale, shift, bias,
+                                relu, emit_stats)
+
+
+def _conv_upconv_fwd(xa, xb_lo, spatial, w, scale, shift, bias, relu,
+                     emit_stats):
+    return (
+        _conv_upconv_fwd_impl(xa, xb_lo, spatial, w, scale, shift, bias,
+                              relu, emit_stats),
+        (xa, xb_lo, w, scale, shift, bias),
+    )
+
+
+def _conv_upconv_bwd(spatial, relu, emit_stats, res, g):
+    xa, xb_lo, w, scale, shift, bias = res
+    Z, Y, X = spatial
+
+    def ref(xa_, xb_, w_, scale_, shift_, bias_):
+        x = jnp.concatenate(
+            [xa_, _upsample2_flat(xb_, (Z // 2, Y // 2, X // 2))], axis=1
+        ).reshape(Z, -1, Y, X)
+        r = _conv_xla(x, w_, scale_, shift_, bias_, relu, emit_stats)
+        if emit_stats:
+            return r[0].reshape(Z, -1, Y * X), r[1]
+        return r.reshape(Z, -1, Y * X)
+
+    _, vjp = jax.vjp(ref, xa, xb_lo, w, scale, shift, bias)
+    return vjp(g)
+
+
+_conv_upconv.defvjp(_conv_upconv_fwd, _conv_upconv_bwd)
+
+
+def conv3x3_fused_flat_upconv(xa, xb_lo, spatial, w, scale=None, shift=None,
+                              bias=None, relu=True, emit_stats=False):
+    """The decoder's upsample+concat+conv in one op: input is the channel
+    concat [xa, nearest_x2(xb_lo)] at hi-res ``spatial``, computed from the
+    LOW-RES ``xb_lo`` directly — 2^3 folded parity taps, no upsampled
+    tensor, no concat (see _conv_pallas_flat_upconv). Opt-in via
+    KM_CONV_UPCONV=1; falls back to upsample + the parts path otherwise."""
+    return _conv_upconv(xa, xb_lo, spatial, w, scale, shift, bias, relu,
+                        emit_stats)
 
 
 def conv3x3_fused_flat(xf, spatial, w, scale=None, shift=None, bias=None,

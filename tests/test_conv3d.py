@@ -243,3 +243,83 @@ def test_conv_flat_parts_misaligned_falls_back(rng):
     an, bn = np.asarray(got, np.float32), np.asarray(want, np.float32)
     sc = np.abs(bn).max() + 1e-6
     np.testing.assert_allclose(an / sc, bn / sc, atol=3e-2)
+
+
+def _upconv_ref(xa, xb_lo, spatial, w, scale=None, shift=None, bias=None,
+                relu=True):
+    Z, Y, X = spatial
+    xb = conv3d._upsample2_flat(xb_lo, (Z // 2, Y // 2, X // 2))
+    x = jnp.concatenate([xa, xb], axis=1).reshape(Z, -1, Y, X)
+    return conv3d._conv_xla(x, w, scale, shift, bias, relu).reshape(
+        Z, -1, Y * X
+    )
+
+
+def test_conv_upconv_matches_upsample_concat(rng, monkeypatch):
+    """The fused-upsample parity conv == conv over [skip, nearest_x2(x)]."""
+    monkeypatch.setenv("KM_CONV_UPCONV", "1")
+    Z, Y, X = 8, 16, 128
+    Ca, Cb, Cout = 16, 32, 16
+    xa = _mk(rng, (Z, Ca, Y * X)) * 0.5
+    xb = _mk(rng, (Z // 2, Cb, (Y // 2) * (X // 2))) * 0.5
+    w = _mk(rng, (3, 3, 3, Ca + Cb, Cout)) * 0.05
+    scale = _mk(rng, (Ca + Cb,)) * 0.1 + 1.0
+    shift = _mk(rng, (Ca + Cb,)) * 0.1
+    b = _mk(rng, (Cout,)) * 0.1
+    for emit in (False, True):
+        got = conv3d.conv3x3_fused_flat_upconv(
+            xa, xb, (Z, Y, X), w, scale=scale, shift=shift, bias=b,
+            emit_stats=emit,
+        )
+        if emit:
+            got, _ = got
+        want = _upconv_ref(xa, xb, (Z, Y, X), w, scale, shift, b)
+        an = np.asarray(got, np.float32)
+        bn = np.asarray(want, np.float32)
+        sc = np.abs(bn).max() + 1e-6
+        np.testing.assert_allclose(an / sc, bn / sc, atol=3e-2)
+
+
+@pytest.mark.parametrize("slide", ["0", "1"])
+def test_conv_upconv_z_edges(rng, monkeypatch, slide):
+    """Parity taps at the z/y/x volume edges (halo fills) stay exact; also
+    multi-group Cin, a non-ZB-multiple low-res Z, and both stack paths."""
+    monkeypatch.setenv("KM_CONV_UPCONV", "1")
+    if slide == "0":
+        monkeypatch.setenv("KM_NO_CONV_SLIDE", "1")
+    Z, Y, X = 12, 16, 128
+    Ca, Cb, Cout = 64, 128, 8
+    xa = _mk(rng, (Z, Ca, Y * X)) * 0.5
+    xb = _mk(rng, (Z // 2, Cb, (Y // 2) * (X // 2))) * 0.5
+    w = _mk(rng, (3, 3, 3, Ca + Cb, Cout)) * 0.05
+    got = conv3d.conv3x3_fused_flat_upconv(xa, xb, (Z, Y, X), w, relu=False)
+    want = _upconv_ref(xa, xb, (Z, Y, X), w, relu=False)
+    an, bn = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    sc = np.abs(bn).max() + 1e-6
+    np.testing.assert_allclose(an / sc, bn / sc, atol=3e-2)
+
+
+def test_conv_upconv_grad(rng, monkeypatch):
+    """VJP (XLA reference through upsample+concat) matches differentiating
+    the reference formulation directly."""
+    monkeypatch.setenv("KM_CONV_UPCONV", "1")
+    Z, Y, X = 4, 16, 128
+    Ca, Cb, Cout = 16, 16, 8
+    xa = _mk(rng, (Z, Ca, Y * X)) * 0.5
+    xb = _mk(rng, (Z // 2, Cb, (Y // 2) * (X // 2))) * 0.5
+    w = _mk(rng, (3, 3, 3, Ca + Cb, Cout)) * 0.05
+
+    def loss_fused(xa_, xb_, w_):
+        o = conv3d.conv3x3_fused_flat_upconv(xa_, xb_, (Z, Y, X), w_)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(xa_, xb_, w_):
+        o = _upconv_ref(xa_, xb_, (Z, Y, X), w_)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(xa, xb, w)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(xa, xb, w)
+    for a, b in zip(g_fused, g_ref):
+        an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        sc = max(np.abs(bn).max(), 1e-6)
+        assert np.abs(an - bn).max() / sc < 3e-2
