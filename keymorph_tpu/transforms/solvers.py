@@ -174,6 +174,12 @@ def fit_tps(c_src, c_dst, lmbda, w=None):
         reg = lmbda / (w.astype(jnp.float32) + 1e-6)  # (B, T)
     else:
         reg = jnp.broadcast_to(lmbda, (B, T))
+    # numerical floor: at lmbda=0 ("exact interpolation", protocol align
+    # tps_0) two near-coincident CoM keypoints make K exactly singular —
+    # torch raises/returns garbage there, XLA's solve returns NaN and
+    # silently poisons the grid. A 1e-6 ridge is ~1e3 x below the solve's
+    # fp32 noise floor for distinct points and keeps duplicates graceful.
+    reg = jnp.maximum(reg, 1e-6)
     K = K + jax.vmap(jnp.diag)(reg)
 
     P = jnp.concatenate([jnp.ones((B, T, 1), jnp.float32), c_src], axis=-1)

@@ -403,3 +403,23 @@ def test_tps_aligner_num_centers_flow_matches_solver(rng):
     moved = solvers.tps_eval(theta, jnp.asarray(p_f[:, :S]), pts)
     expect = np.asarray(jnp.flip(moved.reshape(1, 5, 6, 7, 3), axis=-1))
     np.testing.assert_allclose(grid, expect, atol=1e-5)
+
+
+def test_tps_lmbda0_duplicate_keypoints_finite():
+    """tps_0 (exact interpolation) with coincident control points: the
+    system is singular and XLA's solve would return NaN; the 1e-6 ridge
+    floor keeps it finite and interpolating (protocol align tps_0 on
+    same-subject pairs hits this with trained CoM keypoints)."""
+    import numpy as np
+
+    from keymorph_tpu.transforms.solvers import fit_tps, tps_eval
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.7, 0.7, (1, 32, 3)).astype(np.float32)
+    pts[0, 1] = pts[0, 0]  # exact duplicate
+    src = jnp.asarray(pts)
+    dst = src + 0.03
+    theta = fit_tps(src, dst, jnp.zeros((1,)))
+    out = tps_eval(theta, src, src)
+    assert np.isfinite(np.asarray(theta)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dst), atol=1e-4)
