@@ -79,15 +79,28 @@ def _surface_distances(input1, input2, sampling=1, connectivity=1):
     return np.concatenate([np.ravel(dta[Sprime != 0]), np.ravel(dtb[S != 0])])
 
 
+def _ch0_mask_host(seg):
+    """(B, C, *spatial) one-hot -> host (B, *spatial) bool of channel 0.
+
+    Slices + thresholds ON DEVICE and ships uint8: the EDT only needs the
+    binary channel-0 mask, and pulling the full fp32 one-hot over the
+    device->host link (~84 MB/pair at 128^3) dominated eval wall-clock."""
+    if isinstance(seg, np.ndarray):
+        return seg[:, 0] > 0.5
+    import jax.numpy as jnp
+
+    return np.asarray((jnp.asarray(seg)[:, 0] > 0.5).astype(jnp.uint8)) > 0
+
+
 def hausdorff_distance(test_seg, gt_seg, sampling=(1.25, 1.25, 10)):
     """Max surface distance on channel 0 (assumed background/brain surface),
     averaged over the batch; anisotropic sampling matches the reference
     (loss_ops.py:142-157)."""
-    test_seg = _to_numpy(test_seg)
-    gt_seg = _to_numpy(gt_seg)
+    test_seg = _ch0_mask_host(test_seg)
+    gt_seg = _ch0_mask_host(gt_seg)
     hd = 0.0
     for i in range(len(test_seg)):
-        hd += _surface_distances(test_seg[i, 0], gt_seg[i, 0], list(sampling), 1).max()
+        hd += _surface_distances(test_seg[i], gt_seg[i], list(sampling), 1).max()
     return hd / len(test_seg)
 
 
