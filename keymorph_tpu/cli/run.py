@@ -254,6 +254,10 @@ def main(argv=None):
                 img, ref_points, state, step_fn, config, epoch, rng_key, aff=aff
             )
             print(f"Pretrain epoch {epoch}/{epochs}:", stats)
+            with open(model_dir / "train_log.jsonl", "a") as fh:
+                fh.write(json.dumps({"epoch": epoch, **{
+                    k: float(v) for k, v in stats.items()
+                }}) + "\n")
             if wandb:
                 wandb.log(stats)
             if epoch % config.log_interval == 0 or epoch == epochs:
