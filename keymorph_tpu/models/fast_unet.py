@@ -330,6 +330,15 @@ def _to_zc(x):  # (Z, Y, X, C) -> (Z, C, Y, X)
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
+def _block_params(params, i):
+    """Resolve DoubleConv block i's param subtree. With use_checkpoint the
+    flax module wraps blocks in nn.remat, which prefixes the collection
+    name ('CheckpointDoubleConv_{i}'); the fast path reads raw params, so
+    accept either name."""
+    p = params.get(f"DoubleConv_{i}")
+    return p if p is not None else params[f"CheckpointDoubleConv_{i}"]
+
+
 def _level_fast(spatial):
     Z, Y, X = spatial
     # mirror the conv kernel's lane eligibility (includes the 64^3/32^3
@@ -393,14 +402,14 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
                     xf = x.reshape(Z, int(x.shape[1]), Y * X)
             if fast:
                 xf = _double_conv_flat(
-                    params[f"DoubleConv_{i}"], xf, spatial, num_groups
+                    _block_params(params, i), xf, spatial, num_groups
                 )
                 # the skip keeps the kernel's native flat output: the
                 # decoder reads it directly (conv3x3_fused_flat_parts) and
                 # the old concat-side re-flatten of the skip disappears
                 skips.append((xf, True, spatial))
             else:
-                x = _double_conv(params[f"DoubleConv_{i}"], x, False, num_groups)
+                x = _double_conv(_block_params(params, i), x, False, num_groups)
                 skips.append((x, False, spatial))
             fast_prev = fast
 
@@ -409,7 +418,7 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
         enc_list = skips[:-1][::-1]
         for i in range(num_decoders):
             enc, enc_fast, enc_sp = enc_list[i]
-            dc = params[f"DoubleConv_{L + i}"]
+            dc = _block_params(params, L + i)
             # GroupNorm stats for the first conv, computed on the SMALL
             # pre-upsample / pre-transpose tensors: nearest x2 repeats every
             # element 8x (mean/msq unchanged) and stats are layout-invariant,

@@ -179,3 +179,31 @@ def test_train_step_through_fast_extract(rng, monkeypatch):
     # per-step keyed augmentation makes the short trajectory noisy; require
     # net progress rather than strict last-vs-first decrease
     assert min(losses[-3:]) < losses[0], losses
+
+
+def test_fast_unet_remat_param_names(rng):
+    """use_checkpoint wraps blocks in nn.remat, renaming the param
+    collections (CheckpointDoubleConv_i); the fast path must resolve them
+    (256^3 remat training hit this)."""
+    import os
+
+    os.environ["KM_FORCE_FAST_CONV"] = "1"
+    try:
+        from keymorph_tpu.models import TruncatedUNet3D
+        from keymorph_tpu.models.fast_unet import fast_unet_forward
+
+        net = TruncatedUNet3D(
+            out_channels=8, f_maps=8, num_levels=2, num_truncated_layers=1,
+            dtype=jnp.bfloat16, use_checkpoint=True,
+        )
+        x_cl = jnp.asarray(
+            rng.uniform(0, 1, (1, 32, 32, 32, 1)), jnp.bfloat16
+        )
+        p = net.init(jax.random.PRNGKey(0), x_cl)
+        img = jnp.moveaxis(x_cl, -1, 1).astype(jnp.float32)
+        out = fast_unet_forward(net, p["params"], img)
+        ref = net.apply(p, x_cl)
+        d = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+        assert d.max() < 0.15
+    finally:
+        os.environ.pop("KM_FORCE_FAST_CONV", None)
