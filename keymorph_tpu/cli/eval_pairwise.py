@@ -96,6 +96,112 @@ def _metrics_for_pair(
     return metrics
 
 
+def _per_pair_dice(pred, target, hard, ch_mask, ign_first_ch):
+    """Per-pair (masked) Dice-loss reductions of losses._dice.
+
+    ``ch_mask`` (B, C) is 1 where channel c < the pair's own class count:
+    pairs in a batch may carry different label sets one-hotted to a common
+    ceiling, and the padded channels must not enter the per-channel mean
+    (they would each contribute a perfect eps/eps Dice). For channels under
+    the mask this reproduces losses._dice (eps=1) exactly.
+
+    Returns (per-pair mean (B,), per-pair-per-region (B, C'||C'-1)).
+    """
+    B, C = pred.shape[:2]
+    p = pred.reshape(B, C, -1).astype(jnp.float32)
+    t = target.reshape(B, C, -1).astype(jnp.float32)
+    if hard:
+        am = jnp.argmax(p, axis=1)
+        p = jnp.moveaxis(jax.nn.one_hot(am, C, dtype=jnp.float32), -1, 1)
+    num = 2.0 * jnp.sum(p * t, axis=2) + 1.0
+    den = jnp.sum(p * p, axis=2) + jnp.sum(t * t, axis=2) + 1.0
+    dl = 1.0 - num / den  # (B, C)
+    m = ch_mask.astype(jnp.float32)
+    if ign_first_ch:
+        dl, m = dl[:, 1:], m[:, 1:]
+    mean = jnp.sum(dl * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return mean, dl
+
+
+def make_batch_score_fn(
+    list_of_eval_aligns,
+    list_of_eval_metrics,
+    seg_available,
+    dim,
+    warp,
+    return_volumes,
+):
+    """ONE jitted program warping + scoring a registered batch for EVERY align.
+
+    The sequential loop (warp, then :func:`_metrics_for_pair` per align) is
+    correct but dispatches each op eagerly; over a remote-device link each
+    eager dispatch costs seconds, and a 7-align pair took >2 min of pure
+    dispatch latency (measured: a single eager ``align_img`` at 128^3 was
+    30-90 s on the axon tunnel while the same warp inside jit is ~2 ms).
+    This builder fuses all warps and every on-device metric into one XLA
+    program; only per-pair scalars (+ the uint8 channel-0 masks Hausdorff
+    needs, + optionally the warped volumes for artifact saving) leave the
+    device. Metric values are bitwise the suite _metrics_for_pair computes.
+
+    ``warp`` is align_img, or its shard_map'd form on the mesh path (the
+    composite jit then GSPMD-partitions the metric math over 'data' while
+    the Pallas warp kernel stays per-device under shard_map).
+
+    Returns fn(grids, img_f, img_m, seg_f, seg_m, ch_mask) ->
+    (metrics_tree, ch0_f, volumes_tree) with per-pair leading axes; pass
+    seg_f=seg_m=ch_mask=None when seg_available is False.
+    """
+    need = frozenset(list_of_eval_metrics)
+    aligns = tuple(list_of_eval_aligns)
+
+    def score(grids, img_f, img_m, seg_f, seg_m, ch_mask):
+        out = {}
+        vols = {}
+        spatial_axes = tuple(range(1, dim + 1))
+        ch0_f = (
+            (seg_f[:, 0] > 0.5).astype(jnp.uint8)
+            if seg_available and "hausd" in need
+            else None
+        )
+        for align, g in zip(aligns, grids):
+            img_a = warp(g, img_m)
+            seg_a = warp(g, seg_m) if seg_available else None
+            e = {}
+            if "mse" in need:
+                e["mse"] = jnp.mean(
+                    (img_f.astype(jnp.float32) - img_a.astype(jnp.float32)) ** 2,
+                    axis=tuple(range(1, img_f.ndim)),
+                )
+            if "softdice" in need:
+                e["softdiceloss"], _ = _per_pair_dice(
+                    seg_a, seg_f, False, ch_mask, ign_first_ch=False
+                )
+            if "harddice" in need or "harddiceroi" in need:
+                hd_mean, hd_regions = _per_pair_dice(
+                    seg_a, seg_f, True, ch_mask, ign_first_ch=True
+                )
+                if "harddice" in need:
+                    e["harddice"] = 1.0 - hd_mean
+                if "harddiceroi" in need:
+                    e["harddiceroi"] = 1.0 - hd_regions
+            if "hausd" in need:
+                e["ch0_a"] = (seg_a[:, 0] > 0.5).astype(jnp.uint8)
+            if "jdstd" in need or "jdlessthan0" in need:
+                det = M.jacobian_determinant(jnp.moveaxis(g, -1, 1))
+                if "jdstd" in need:
+                    e["jdstd"] = jnp.std(det, axis=spatial_axes)
+                if "jdlessthan0" in need:
+                    e["jdlessthan0"] = jnp.mean(
+                        (det <= 0).astype(jnp.float32), axis=spatial_axes
+                    )
+            out[align] = e
+            if return_volumes:
+                vols[align] = (img_a, seg_a)
+        return out, ch0_f, vols
+
+    return jax.jit(score)
+
+
 def run_eval(
     loader,
     registration_model,
@@ -146,6 +252,16 @@ def run_eval(
             check_vma=False,  # pallas_call emits un-annotated out avals
         )
 
+    # cached jitted programs (one compile per aug / per shape signature):
+    # everything between the host->device put and the metric scalars runs in
+    # three dispatches — prep (one-hot + augment), forward, score — because
+    # eager per-op dispatch costs seconds on a remote-device (axon) link
+    _prep_cache = {}
+    _score_cache = {}
+    need_vols = getattr(args, "save_eval_artifacts", True) or getattr(
+        args, "visualize", False
+    )
+
     def _flush(pending):
         """Register + score a buffer of pending pairs for every aug."""
         for aug in list_of_eval_augs:
@@ -189,12 +305,14 @@ def run_eval(
             else:
                 img_f = jnp.asarray(img_f)
                 img_m = jnp.asarray(img_m)
+            n_max = 0
+            seg_f_i = seg_m_i = None
             if seg_available:
-                # one-hot to the batch-wide ceiling; per-pair channel slices
-                # below recover exactly the pair's own label set (the extra
-                # channels are identically zero through the linear warp).
-                # int labels ship to the chips first; the one-hot expansion
-                # happens on-device, already sharded.
+                # one-hot to the batch-wide ceiling; per-pair channel masks
+                # in the scorer recover exactly the pair's own label set
+                # (the extra channels are identically zero through the
+                # linear warp). int labels ship to the chips first; the
+                # one-hot expansion happens on-device, already sharded.
                 n_cls_list = [e["n_cls"] for e in batch]
                 n_max = max(n_cls_list)
                 seg_f_i = np.concatenate(
@@ -206,33 +324,45 @@ def run_eval(
                 if batch_sh is not None:
                     seg_f_i = jax.device_put(seg_f_i, batch_sh)
                     seg_m_i = jax.device_put(seg_m_i, batch_sh)
-                seg_f = U.one_hot(jnp.asarray(seg_f_i), n_max)
-                seg_m = U.one_hot(jnp.asarray(seg_m_i), n_max)
 
-            # explicit eval-time augmentation of the moving image; on the
-            # mesh path it runs under shard_map so each chip augments its
-            # own pair shard (and the Pallas warp inside stays eligible)
-            if mesh is not None:
-                from jax.sharding import PartitionSpec as P
-                from jax import shard_map as _shard_map
-
-                n_out = 2 if seg_available else 1
-                aug_fn = _shard_map(
-                    (lambda im, sg: affine_augment(im, param, seg=sg))
-                    if seg_available
-                    else (lambda im: affine_augment(im, param)),
-                    mesh=mesh,
-                    in_specs=(P("data"),) * (2 if seg_available else 1),
-                    out_specs=(P("data"),) * n_out if seg_available else P("data"),
-                )
+            # prep program: on-device one-hot of both segs + eval-time
+            # affine augmentation of the moving image (+seg). One jitted
+            # dispatch; on the mesh path it runs under shard_map so each
+            # chip augments its own pair shard (and the Pallas warp inside
+            # stays eligible).
+            pk = (aug, img_m.shape, n_max)
+            if pk not in _prep_cache:
                 if seg_available:
-                    img_m, seg_m = aug_fn(img_m, seg_m)
+
+                    def _prep(im, sgf_i, sgm_i, _param=param, _n=n_max):
+                        sgf = U.one_hot(jnp.asarray(sgf_i), _n)
+                        sgm = U.one_hot(jnp.asarray(sgm_i), _n)
+                        im2, sgm2 = affine_augment(im, _param, seg=sgm)
+                        return im2, sgf, sgm2
+
                 else:
-                    img_m = aug_fn(img_m)
-            elif seg_available:
-                img_m, seg_m = affine_augment(img_m, param, seg=seg_m)
+
+                    def _prep(im, _param=param):
+                        return affine_augment(im, _param)
+
+                fn = _prep
+                if mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+                    from jax import shard_map as _shard_map
+
+                    n_io = 3 if seg_available else 1
+                    fn = _shard_map(
+                        fn,
+                        mesh=mesh,
+                        in_specs=(P("data"),) * n_io,
+                        out_specs=(P("data"),) * n_io if seg_available else P("data"),
+                    )
+                _prep_cache[pk] = jax.jit(fn)
+            if seg_available:
+                img_m, seg_f, seg_m = _prep_cache[pk](img_m, seg_f_i, seg_m_i)
             else:
-                img_m = affine_augment(img_m, param)
+                img_m = _prep_cache[pk](img_m)
+                seg_f = seg_m = None
 
             t0 = time.time()
             results = registration_model(
@@ -244,39 +374,74 @@ def run_eval(
                 aff_m=aff_m,
             )
 
-            # warp once per align over the whole batch, then score per pair
-            warped = {}
-            for align, res in results.items():
-                grid = res["grid"]
-                img_a = warp(grid, img_m)
-                seg_a = warp(grid, seg_m) if seg_available else None
-                warped[align] = (grid, img_a, seg_a)
-            jax.block_until_ready([w[1] for w in warped.values()])
+            # score program: ONE jitted dispatch warps every align and
+            # computes the whole on-device metric suite per pair; only
+            # per-pair scalars + the uint8 ch0 masks (for host Hausdorff)
+            # + (if saving artifacts) the warped volumes leave the device
+            sk = (img_f.shape, img_m.shape, n_max)
+            if sk not in _score_cache:
+                _score_cache[sk] = make_batch_score_fn(
+                    list_of_eval_aligns,
+                    list_of_eval_metrics,
+                    seg_available,
+                    args.dim,
+                    warp,
+                    need_vols,
+                )
+            grids = tuple(results[a]["grid"] for a in list_of_eval_aligns)
+            ch_mask = None
+            if seg_available:
+                cm = np.zeros((len(batch), n_max), np.float32)
+                for b, nc in enumerate(n_cls_list):
+                    cm[b, :nc] = 1.0
+                ch_mask = jnp.asarray(cm)
+            scored, ch0_f, vols = _score_cache[sk](
+                grids, img_f, img_m, seg_f, seg_m, ch_mask
+            )
+            scored = jax.device_get(scored)  # one transfer for the batch
+            ch0_f = np.asarray(ch0_f) if ch0_f is not None else None
             batch_time = time.time() - t0
 
             for j, entry in enumerate(work):
                 sl = slice(j, j + 1)
-                img_f_j, img_m_j = img_f[sl], img_m[sl]
-                if seg_available:
-                    n_cls_j = entry["n_cls"]
-                    seg_f_j = seg_f[sl, :n_cls_j]
-                    seg_m_j = seg_m[sl, :n_cls_j]
-                _save_pair_common(
-                    entry, aug, img_f_j, img_m_j,
-                    seg_f_j if seg_available else None,
-                    seg_m_j if seg_available else None,
-                )
+                n_cls_j = entry["n_cls"] if seg_available else 0
+                if need_vols:
+                    img_f_j, img_m_j = img_f[sl], img_m[sl]
+                    seg_f_j = seg_f[sl, :n_cls_j] if seg_available else None
+                    seg_m_j = seg_m[sl, :n_cls_j] if seg_available else None
+                    _save_pair_common(
+                        entry, aug, img_f_j, img_m_j, seg_f_j, seg_m_j
+                    )
 
                 all_metrics = {}
                 for align, res in results.items():
-                    grid, img_a, seg_a = warped[align]
-                    grid_j, img_a_j = grid[sl], img_a[sl]
-                    seg_a_j = seg_a[sl, :n_cls_j] if seg_available else None
-                    metrics = _metrics_for_pair(
-                        list_of_eval_metrics, args, seg_available,
-                        img_f_j, img_a_j,
-                        seg_f_j if seg_available else None, seg_a_j, grid_j,
-                    )
+                    e = scored[align]
+                    metrics = {}
+                    for m in list_of_eval_metrics:
+                        if m == "mse":
+                            metrics["mse"] = float(e["mse"][j])
+                        elif m == "softdice":
+                            sdl = float(e["softdiceloss"][j])
+                            metrics["softdiceloss"] = sdl
+                            metrics["softdice"] = 1 - sdl
+                        elif m == "harddice":
+                            metrics["harddice"] = float(e["harddice"][j])
+                        elif m == "harddiceroi":
+                            metrics["harddiceroi"] = np.asarray(
+                                e["harddiceroi"][j][: n_cls_j - 1]
+                            ).tolist()
+                        elif m == "hausd":
+                            metrics["hausd"] = float(
+                                M.hausdorff_from_ch0_masks(
+                                    e["ch0_a"][j : j + 1], ch0_f[j : j + 1]
+                                )
+                            )
+                        elif m == "jdstd":
+                            metrics["jdstd"] = float(e["jdstd"][j])
+                        elif m == "jdlessthan0":
+                            metrics["jdlessthan0"] = float(e["jdlessthan0"][j])
+                        else:
+                            raise ValueError(f'Invalid metric "{m}"')
                     all_metrics[align] = metrics
                     print(
                         f"-> {align}: align_time={res.get('time', float('nan')):.3f}s "
@@ -284,9 +449,16 @@ def run_eval(
                         metrics,
                     )
                     save_dict_as_json(metrics, entry["metrics_paths"][aug][align])
-                    _save_pair_align(
-                        entry, aug, align, res, sl, grid_j, img_a_j, seg_a_j
-                    )
+                    if need_vols:
+                        img_a_full, seg_a_full = vols[align]
+                        grid_j = res["grid"][sl]
+                        img_a_j = img_a_full[sl]
+                        seg_a_j = (
+                            seg_a_full[sl, :n_cls_j] if seg_available else None
+                        )
+                        _save_pair_align(
+                            entry, aug, align, res, sl, grid_j, img_a_j, seg_a_j
+                        )
                     if getattr(args, "visualize", False):
                         # moving/fixed/aligned panel per pair x aug x align
                         # (reference pairwise_register_eval.py --visualize)
@@ -300,7 +472,7 @@ def run_eval(
                         p_a = res.get("points_a")
                         show(
                             np.asarray(img_m[sl])[0, 0],
-                            np.asarray(img_f_j)[0, 0],
+                            np.asarray(img_f[sl])[0, 0],
                             np.asarray(img_a_j)[0, 0],
                             np.asarray(res["points_m"][sl])[0],
                             np.asarray(res["points_f"][sl])[0],

@@ -66,14 +66,57 @@ def dice(x, y):
 # ---------------------------------------------------------------------------
 
 
+# KD-tree cutover: above this many surface voxels the O(N) full-volume EDT
+# beats per-point nearest-neighbor queries (pathological masks only — a
+# compact anatomical surface at 128^3 has ~10-60k voxels).
+_HAUSD_KDTREE_MAX_SURFACE = 400_000
+
+
+def _surface(mask, connectivity=1):
+    """Boundary voxels of a binary mask (erosion XOR, loss_ops.py:121-130)."""
+    conn = scipy.ndimage.generate_binary_structure(mask.ndim, connectivity)
+    return mask ^ scipy.ndimage.binary_erosion(mask, conn)
+
+
 def _surface_distances(input1, input2, sampling=1, connectivity=1):
-    """Surface distance samples via binary erosion + EDT
-    (reference loss_ops.py:121-139)."""
-    input_1 = np.atleast_1d(input1.astype(bool))
-    input_2 = np.atleast_1d(input2.astype(bool))
-    conn = scipy.ndimage.generate_binary_structure(input_1.ndim, connectivity)
-    S = input_1 ^ scipy.ndimage.binary_erosion(input_1, conn)
-    Sprime = input_2 ^ scipy.ndimage.binary_erosion(input_2, conn)
+    """Symmetric surface-distance samples (reference loss_ops.py:121-139).
+
+    Same values as the reference's erosion + full-volume EDT recipe, but the
+    EDT-at-surface-points lookups are nearest-neighbor queries on a KD-tree
+    of the *other* surface's (anisotropically scaled) coordinates: the EDT of
+    the complement of S evaluated at a point p IS min_{s in S} ||(p-s)*h||.
+    Querying only the ~10-60k surface voxels instead of transforming all
+    128^3 takes the metric from ~7 s to ~0.1 s per pair on one host core.
+    Falls back to the EDT for degenerate/huge surfaces.
+    """
+    input_1 = np.atleast_1d(np.asarray(input1).astype(bool))
+    input_2 = np.atleast_1d(np.asarray(input2).astype(bool))
+    S = _surface(input_1, connectivity)
+    Sprime = _surface(input_2, connectivity)
+    sampling = np.atleast_1d(np.asarray(sampling, np.float64))
+    if sampling.size == 1:
+        sampling = np.full(input_1.ndim, sampling[0])
+
+    pts_a = np.argwhere(S)
+    pts_b = np.argwhere(Sprime)
+    if (
+        0 < len(pts_a) <= _HAUSD_KDTREE_MAX_SURFACE
+        and 0 < len(pts_b) <= _HAUSD_KDTREE_MAX_SURFACE
+    ):
+        from scipy.spatial import cKDTree
+
+        # balanced/compact build is pathologically slow on grid-structured
+        # voxel coordinates (1.1 s vs 8 ms at 16k points); sliding-midpoint
+        # splits are fine for NN queries
+        def _tree(p):
+            return cKDTree(p, balanced_tree=False, compact_nodes=False)
+
+        ta = _tree(pts_a * sampling)
+        tb = _tree(pts_b * sampling)
+        d_b_to_a, _ = ta.query(pts_b * sampling, k=1)
+        d_a_to_b, _ = tb.query(pts_a * sampling, k=1)
+        return np.concatenate([np.ravel(d_b_to_a), np.ravel(d_a_to_b)])
+
     dta = scipy.ndimage.distance_transform_edt(~S, sampling)
     dtb = scipy.ndimage.distance_transform_edt(~Sprime, sampling)
     return np.concatenate([np.ravel(dta[Sprime != 0]), np.ravel(dtb[S != 0])])
@@ -96,12 +139,21 @@ def hausdorff_distance(test_seg, gt_seg, sampling=(1.25, 1.25, 10)):
     """Max surface distance on channel 0 (assumed background/brain surface),
     averaged over the batch; anisotropic sampling matches the reference
     (loss_ops.py:142-157)."""
-    test_seg = _ch0_mask_host(test_seg)
-    gt_seg = _ch0_mask_host(gt_seg)
+    return hausdorff_from_ch0_masks(
+        _ch0_mask_host(test_seg), _ch0_mask_host(gt_seg), sampling
+    )
+
+
+def hausdorff_from_ch0_masks(test_mask, gt_mask, sampling=(1.25, 1.25, 10)):
+    """:func:`hausdorff_distance` when the (B, *spatial) binary channel-0
+    masks are already host numpy (batched eval ships only these — the jitted
+    scorer thresholds on device; see cli/eval_pairwise.py)."""
+    test_mask = np.asarray(test_mask) > 0
+    gt_mask = np.asarray(gt_mask) > 0
     hd = 0.0
-    for i in range(len(test_seg)):
-        hd += _surface_distances(test_seg[i], gt_seg[i], list(sampling), 1).max()
-    return hd / len(test_seg)
+    for i in range(len(test_mask)):
+        hd += _surface_distances(test_mask[i], gt_mask[i], list(sampling), 1).max()
+    return hd / len(test_mask)
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,23 @@ def test_hausdorff_symmetric_shapes():
     assert 0 < hd <= 4
 
 
+def test_surface_distances_kdtree_matches_edt(rng):
+    """The KD-tree nearest-surface path returns exactly the EDT recipe's
+    distance samples (reference loss_ops.py:121-139) on irregular masks."""
+    z, y, x = np.mgrid[:40, :40, :40]
+    m1 = ((z - 18) ** 2 + (y - 20) ** 2 + (x - 22) ** 2) < 12**2
+    m2 = ((z - 21) ** 2 + 2 * (y - 18) ** 2 + (x - 19) ** 2) < 10**2
+    m1 |= rng.random((40, 40, 40)) > 0.995  # speckle: many tiny components
+    d_kd = metrics._surface_distances(m1, m2, [1.25, 1.25, 10], 1)
+    old = metrics._HAUSD_KDTREE_MAX_SURFACE
+    try:
+        metrics._HAUSD_KDTREE_MAX_SURFACE = 0  # force the EDT fallback
+        d_edt = metrics._surface_distances(m1, m2, [1.25, 1.25, 10], 1)
+    finally:
+        metrics._HAUSD_KDTREE_MAX_SURFACE = old
+    np.testing.assert_allclose(np.sort(d_kd), np.sort(d_edt), atol=1e-9)
+
+
 def test_fast_dice_perfect_match(rng):
     labels = rng.integers(0, 5, size=(1, 6, 6, 6))
     onehot = np.eye(5, dtype=np.float32)[labels].transpose(0, 4, 1, 2, 3)

@@ -135,6 +135,95 @@ def test_run_eval_fanout_matches_sequential(setup, tmp_path):
                 )
 
 
+def test_batch_score_fn_matches_metrics_for_pair(tmp_path):
+    """The one-dispatch batched scorer reproduces the sequential per-pair
+    metric suite (_metrics_for_pair) on every metric, incl. host Hausdorff
+    from the shipped ch0 masks and per-pair channel masking (n_cls 3 vs 5)."""
+    from keymorph_tpu.cli.eval_pairwise import (
+        _metrics_for_pair,
+        make_batch_score_fn,
+    )
+    from keymorph_tpu.ops.resample import align_img
+    from keymorph_tpu import metrics as M
+
+    rng = np.random.default_rng(7)
+    B, S = 2, 10
+    img_f = jnp.asarray(rng.normal(size=(B, 1, S, S, S)).astype(np.float32))
+    img_m = jnp.asarray(rng.normal(size=(B, 1, S, S, S)).astype(np.float32))
+    n_cls = [3, 5]
+    n_max = 5
+    lab_f = np.stack(
+        [rng.integers(0, n, size=(1, S, S, S)) for n in n_cls]
+    )
+    lab_m = np.stack(
+        [rng.integers(0, n, size=(1, S, S, S)) for n in n_cls]
+    )
+    from keymorph_tpu import utils as U
+
+    seg_f = U.one_hot(jnp.asarray(lab_f, jnp.int32), n_max)
+    seg_m = U.one_hot(jnp.asarray(lab_m, jnp.int32), n_max)
+    # a mild random smooth grid around identity
+    from keymorph_tpu.ops.coords import uniform_norm_grid
+
+    base = uniform_norm_grid((S, S, S))[..., ::-1][None]  # xy order like grids
+    base = np.broadcast_to(base, (B,) + base.shape[1:])
+    grids = tuple(
+        jnp.asarray(
+            (base + 0.05 * rng.normal(size=base.shape)).astype(np.float32)
+        )
+        for _ in range(2)
+    )
+    metric_names = [
+        "mse", "softdice", "harddice", "harddiceroi", "hausd", "jdstd",
+        "jdlessthan0",
+    ]
+    ch_mask = jnp.asarray(
+        np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], np.float32)
+    )
+    score = make_batch_score_fn(
+        ["a0", "a1"], metric_names, True, 3, align_img, False
+    )
+    scored, ch0_f, _ = score(grids, img_f, img_m, seg_f, seg_m, ch_mask)
+    scored = jax.device_get(scored)
+    ch0_f = np.asarray(ch0_f)
+
+    class A:
+        dim = 3
+
+    for ai, align in enumerate(["a0", "a1"]):
+        g = grids[ai]
+        img_a = align_img(g, img_m)
+        seg_a = align_img(g, seg_m)
+        for j in range(B):
+            sl = slice(j, j + 1)
+            nc = n_cls[j]
+            ref = _metrics_for_pair(
+                metric_names, A(), True, img_f[sl], img_a[sl],
+                seg_f[sl, :nc], seg_a[sl, :nc], g[sl],
+            )
+            e = scored[align]
+            assert float(e["mse"][j]) == pytest.approx(ref["mse"], abs=1e-6)
+            assert float(e["softdiceloss"][j]) == pytest.approx(
+                ref["softdiceloss"], abs=1e-5
+            )
+            assert float(e["harddice"][j]) == pytest.approx(
+                ref["harddice"], abs=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(e["harddiceroi"][j][: nc - 1]),
+                np.asarray(ref["harddiceroi"]),
+                atol=1e-5,
+            )
+            hausd = M.hausdorff_from_ch0_masks(
+                e["ch0_a"][sl], ch0_f[sl]
+            )
+            assert float(hausd) == pytest.approx(ref["hausd"], abs=1e-5)
+            assert float(e["jdstd"][j]) == pytest.approx(ref["jdstd"], abs=1e-5)
+            assert float(e["jdlessthan0"][j]) == pytest.approx(
+                ref["jdlessthan0"], abs=1e-6
+            )
+
+
 def test_run_eval_fanout_skip_if_completed(setup, tmp_path):
     """In fan-out mode, pairs whose metric JSONs already exist are loaded
     (not recomputed) while the rest still register — mixed batches."""
