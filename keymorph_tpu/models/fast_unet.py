@@ -298,9 +298,29 @@ def _maxpool2_rw_fwd(x, window):
     return _maxpool2_rw(x, window), x
 
 
+def _pool_upsample(v, window):
+    """Nearest-repeat a pooled tensor back to the pre-pool shape."""
+    for ax, w in enumerate(window):
+        if w == 2:
+            v = jnp.repeat(v, 2, axis=ax)
+    return v
+
+
 def _maxpool2_rw_bwd(window, x, g):
-    _, vjp = jax.vjp(lambda v: _maxpool2_reshape(v, window), x)
-    return vjp(g)
+    """Max-pool gradient with ties split evenly (eq/count — the same math
+    as differentiating the reshape+max formulation), computed in the
+    tensor's native 4-D layout. jax.vjp of _maxpool2_reshape materializes
+    the 7-D windowed eq and div tensors, whose layout puts C in the lane
+    dimension: at 256^3/C=32 each is lane-padded 4x to 4 GB — the sole
+    reason the 256^3 training step exceeded HBM. Here everything is
+    (Z, C, Y, X) elementwise + one reduce_window, all X-minor, zero
+    padding; mx is recomputed (3 ms) instead of saved."""
+    mx = _maxpool2_rw(x, window)
+    eq = (x == _pool_upsample(mx, window)).astype(g.dtype)
+    cnt = jax.lax.reduce_window(
+        eq, jnp.array(0, g.dtype), jax.lax.add, window, window, "VALID"
+    )
+    return (eq * _pool_upsample(g / cnt, window),)
 
 
 _maxpool2_rw.defvjp(_maxpool2_rw_fwd, _maxpool2_rw_bwd)
@@ -368,6 +388,17 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
     L = len(f_maps)
     num_groups = backbone.num_groups
     num_decoders = L - 1 - backbone.num_truncated_layers
+    # Block-level rematerialization. nn.remat on the flax module cannot help
+    # this path: jax.checkpoint does not see through the conv kernels'
+    # custom_vjp, whose residuals (every conv's input) are saved regardless —
+    # at 256^3 that is ~25 GB live and the training step exceeds HBM. Wrapping
+    # each DoubleConv here instead saves only block boundaries and replays the
+    # block (Pallas kernels included) in the backward.
+    if backbone.use_checkpoint:
+        _ckpt = jax.checkpoint
+    else:
+        def _ckpt(f):
+            return f
 
     outs = []
     for b in range(img.shape[0]):
@@ -401,15 +432,19 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
                     Z, Y, X = spatial
                     xf = x.reshape(Z, int(x.shape[1]), Y * X)
             if fast:
-                xf = _double_conv_flat(
-                    _block_params(params, i), xf, spatial, num_groups
-                )
+                xf = _ckpt(
+                    lambda p, v, _sp=spatial: _double_conv_flat(
+                        p, v, _sp, num_groups
+                    )
+                )(_block_params(params, i), xf)
                 # the skip keeps the kernel's native flat output: the
                 # decoder reads it directly (conv3x3_fused_flat_parts) and
                 # the old concat-side re-flatten of the skip disappears
                 skips.append((xf, True, spatial))
             else:
-                x = _double_conv(_block_params(params, i), x, False, num_groups)
+                x = _ckpt(
+                    lambda p, v: _double_conv(p, v, False, num_groups)
+                )(_block_params(params, i), x)
                 skips.append((x, False, spatial))
             fast_prev = fast
 
@@ -450,15 +485,20 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
                 # PRE-upsample flat tensor (conv3x3_fused_flat_upconv:
                 # 2^3 parity taps when KM_CONV_UPCONV=1; otherwise a
                 # materialized upsample + the concat-free parts path)
-                xf = _double_conv_flat(
-                    dc, enc, spatial, num_groups, stats0=stats0,
-                    xb=xf, xb_lo=True,
-                )
+                xf = _ckpt(
+                    lambda p, e, b, s0, _sp=spatial: _double_conv_flat(
+                        p, e, _sp, num_groups, stats0=s0, xb=b, xb_lo=True
+                    )
+                )(dc, enc, xf, stats0)
             else:
                 x = _upsample2(x, False)
                 spatial = enc_sp
                 x = jnp.concatenate([enc, x], axis=-1)
-                x = _double_conv(dc, x, False, num_groups, stats0=stats0)
+                x = _ckpt(
+                    lambda p, v, s0: _double_conv(
+                        p, v, False, num_groups, stats0=s0
+                    )
+                )(dc, x, stats0)
 
         # final 1x1 conv as a channel matmul (XLA's conv lowering of the
         # 1x1 measured 2.2 TFLOPS; the einsum lowers as a clean matmul)

@@ -36,14 +36,19 @@ def center_of_mass(vol, indexing="ij"):
     """
     spatial = vol.shape[1:-1]
     d = len(spatial)
-    v = jax.nn.relu(vol.astype(jnp.float32))
+    # ReLU in the input dtype (exact in any float dtype); the reduces below
+    # accumulate in f32 with the convert fused into the reduction. Summing
+    # bf16 addends into an f32 accumulator is value-identical to upcasting
+    # first, but upcasting materialized the full f32 heatmap volume (under
+    # AMP at 256^3/256 kp: ~5 GB of scheduler copies — a round-5 OOM item).
+    v = jax.nn.relu(vol)
     eps = 1e-8
 
     coords = []
     # marginal mass along each axis: reduce all spatial axes but one
     for k in range(d):
         axes = tuple(i + 1 for i in range(d) if i != k)
-        m = jnp.sum(v, axis=axes)  # (B, Nk, C)
+        m = jnp.sum(v, axis=axes, dtype=jnp.float32)  # (B, Nk, C)
         total = jnp.sum(m, axis=1) + eps  # (B, C)
         line = jnp.linspace(0.0, 1.0, spatial[k], dtype=jnp.float32)
         c = jnp.einsum("bnc,n->bc", m, line, precision=_PREC) / total

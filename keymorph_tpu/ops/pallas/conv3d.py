@@ -1194,14 +1194,40 @@ def _conv_bwd(relu, emit_stats, res, g):
             g_v.astype(jnp.float32), axis=(0, 2, 3)
         ).astype(bias.dtype)
 
-    # weight gradient: vjp of the XLA formulation w.r.t. w only (XLA's
-    # wgrad conv; the dead x-gradient branch is eliminated). No relu/bias:
-    # their effect is already inside g_v.
-    def f_w(w_):
-        return _conv_xla(x, w_, scale, shift, None, False)
-
-    _, vjp_w = jax.vjp(f_w, w)
-    (g_w,) = vjp_w(g_v.astype(jnp.bfloat16))
+    # weight gradient as 27 tap-sliced z-batched matmuls in the native
+    # (Z, C, Y, X) layout:
+    #   dW[dz,dy,dx,ci,co] = sum_{z,y,x} u[z+dz-1,ci,y+dy-1,x+dx-1] g_v[z,co,y,x]
+    # XLA's wgrad conv (jax.vjp of the NCDHW conv_general_dilated) was the
+    # 256^3 training OOM: its 5-D operands put C in the lane dimension and
+    # pad 8-16x (two 8 GB copies for the l0 convs alone). Here every
+    # operand keeps X minor; arithmetic matches the conv's
+    # bf16-multiply/fp32-accumulate.
+    u = x.astype(jnp.float32)
+    if scale is not None:
+        u = u * scale.astype(jnp.float32)[None, :, None, None]
+    if shift is not None:
+        u = u + shift.astype(jnp.float32)[None, :, None, None]
+    u = u.astype(jnp.bfloat16)
+    Z, C, Y, X = (int(s) for s in u.shape)
+    up = jnp.pad(u, ((1, 1), (0, 0), (1, 1), (1, 1)))
+    g_vb = g_v.astype(jnp.bfloat16)
+    taps = []
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                usl = jax.lax.slice(
+                    up, (dz, 0, dy, dx), (dz + Z, C, dy + Y, dx + X)
+                )
+                taps.append(
+                    jnp.sum(
+                        jnp.einsum(
+                            "zcyx,zkyx->zck", usl, g_vb,
+                            preferred_element_type=jnp.float32,
+                        ),
+                        axis=0,
+                    )
+                )
+    g_w = jnp.stack(taps).reshape(3, 3, 3, C, -1).astype(w.dtype)
 
     return g_x, g_w, g_scale, g_shift, g_bias
 

@@ -181,6 +181,26 @@ def test_train_step_through_fast_extract(rng, monkeypatch):
     assert min(losses[-3:]) < losses[0], losses
 
 
+def test_maxpool_bwd_matches_reshape_formulation(rng):
+    """The layout-native max-pool backward (eq-mask x upsampled g/count)
+    must equal differentiating the reshape+max formulation exactly,
+    including even tie-splitting (the 7-D windowed VJP it replaces was a
+    4 GB lane-padded tensor at 256^3 — the round-5 training OOM)."""
+    from keymorph_tpu.models.fast_unet import _maxpool2_reshape, _maxpool2_rw
+
+    for window, shape in (((2, 1, 2, 2), (4, 3, 6, 8)), ((2, 2, 2, 1), (4, 6, 8, 3))):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        x = jnp.round(x * 2) / 2  # quantize -> many exact ties
+        g = jnp.asarray(
+            rng.normal(size=[s // w for s, w in zip(shape, window)]).astype(
+                np.float32
+            )
+        )
+        gn = jax.grad(lambda v: jnp.vdot(_maxpool2_rw(v, window), g))(x)
+        gr = jax.grad(lambda v: jnp.vdot(_maxpool2_reshape(v, window), g))(x)
+        np.testing.assert_array_equal(np.asarray(gn), np.asarray(gr))
+
+
 def test_fast_unet_remat_param_names(rng):
     """use_checkpoint wraps blocks in nn.remat, renaming the param
     collections (CheckpointDoubleConv_i); the fast path must resolve them
