@@ -483,8 +483,9 @@ def fast_unet_forward(backbone, params: Dict[str, Any], img):
                 spatial = enc_sp
                 # upsample+concat+conv in one op: conv1 reads the
                 # PRE-upsample flat tensor (conv3x3_fused_flat_upconv:
-                # 2^3 parity taps when KM_CONV_UPCONV=1; otherwise a
-                # materialized upsample + the concat-free parts path)
+                # 2^3 parity taps, default ON; KM_NO_CONV_UPCONV=1 falls
+                # back to a materialized upsample + the concat-free parts
+                # path)
                 xf = _ckpt(
                     lambda p, e, b, s0, _sp=spatial: _double_conv_flat(
                         p, e, _sp, num_groups, stats0=s0, xb=b, xb_lo=True

@@ -110,12 +110,14 @@ def _pick_tiles(cin, cout, Y, X, cg_divides=None):
         (2, 8, 32),
         (1, 8, 32),
     )
-    if os.environ.get("KM_CONV_BIGCG") == "1":
+    if os.environ.get("KM_NO_CONV_BIGCG") != "1":
         # big-Cg rungs: fewer Cin groups at the deep levels (X in {32, 64},
         # where the small lane row lets 96-256-channel bands fit VMEM) —
         # e3/e4/d1c2 become SINGLE-group (no fp32 partial-sum round trip),
-        # d1c1 drops 6 -> 3 groups, d2c1 3 -> 2. Default OFF until
-        # device-validated (tools/conv_microbench) — flip after the sweep.
+        # d1c1 drops 6 -> 3 groups, d2c1 3 -> 2. Default ON: with the fused
+        # upsample-conv it measured 7.22 vs 6.77 reg/s at 256^3 and 54.7 vs
+        # 52.5 at 128^3 end-to-end (r5 device sweep). KM_NO_CONV_BIGCG=1
+        # restores the small rungs.
         ladder = (
             (4, 16, cin),
             (2, 16, cin),
@@ -1366,7 +1368,7 @@ def _conv_upconv_fwd_impl(xa, xb_lo, spatial, w, scale, shift, bias, relu,
     if (
         fast_conv_enabled()
         and os.environ.get("KM_NO_CONV_FLAT") != "1"
-        and os.environ.get("KM_CONV_UPCONV") == "1"  # opt-in until device-validated
+        and os.environ.get("KM_NO_CONV_UPCONV") != "1"  # default ON (r5 device sweep)
         and min(Ca, Cb) >= 8
         and Z % 2 == 0 and Y % 2 == 0 and X % 2 == 0
         and _shapes_eligible((Z, Ca, Y, X))
@@ -1421,7 +1423,8 @@ def conv3x3_fused_flat_upconv(xa, xb_lo, spatial, w, scale=None, shift=None,
     concat [xa, nearest_x2(xb_lo)] at hi-res ``spatial``, computed from the
     LOW-RES ``xb_lo`` directly — 2^3 folded parity taps, no upsampled
     tensor, no concat (see _conv_pallas_flat_upconv). Opt-in via
-    KM_CONV_UPCONV=1; falls back to upsample + the parts path otherwise."""
+    enabled by default; KM_NO_CONV_UPCONV=1 falls back to upsample + the
+    parts path."""
     return _conv_upconv(xa, xb_lo, spatial, w, scale, shift, bias, relu,
                         emit_stats)
 
